@@ -1,0 +1,96 @@
+"""Text-analysis functions for large-scale training-data pipelines
+(engine additions beyond the reference — task brief "text analysis").
+
+Every function is a pure Column expression (JVM-side, codegen) and has an
+exactly-mirrorable ANSI/DuckDB formulation, so each ships with a DuckDB
+oracle in ``__spark_entry__.oracle_sql``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    'en': ['the', 'and', 'of', 'to', 'a', 'in', 'is'],
+    'de': ['der', 'und', 'die', 'das', 'ist', 'nicht'],
+    'fr': ['le', 'la', 'et', 'les', 'est', 'une'],
+    'es': ['el', 'de', 'que', 'los', 'es', 'una'],
+}
+
+STOPWORDS = LANG_MARKERS['en']
+
+PUNCT_CLASS = r'[.,;:!?]'
+
+
+def normalized(text: Column) -> Column:
+    """lowercase + collapse whitespace — shared normal form for
+    fingerprinting and tokenization."""
+    return F.regexp_replace(F.lower(F.trim(text)), r'\s+', ' ')
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalized(text), ' ')
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate: one token per ~4 chars plus one per
+    punctuation mark — the standard cheap proxy when no tokenizer is
+    shipped (none is, in this container)."""
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ''))
+    return (F.ceil(n_chars / F.lit(4.0)) + n_punct).cast('int')
+
+
+def punct_ratio(text: Column) -> Column:
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ''))
+    return F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars.cast('double'))
+
+
+def stopword_ratio(text: Column, stopwords=None) -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks).cast('double'))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation,
+    punctuation sanity, stopword presence.  Rounded to 6 dp so the Spark
+    and DuckDB formulations hash identically."""
+    length_term = F.least(F.lit(1.0), token_count(text) / F.lit(100.0))
+    score = (
+        F.lit(0.5) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.2) * stopword_ratio(text)
+    )
+    return F.round(score, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language heuristic: count hits per language, argmax
+    with deterministic tie-break on language code order ('de' < 'en' < …
+    alphabetical).  Returns a language code string."""
+    toks = tokens(text)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append((lang, hits))
+    # argmax via struct max: (hits, -ord) so ties break to alphabetically
+    # first language; mirrored in SQL with greatest(struct...)
+    best = F.greatest(*[F.struct(h.alias('h'), F.lit(-i).alias('o'), F.lit(lang).alias('l'))
+                        for i, (lang, h) in enumerate(scores)])
+    return F.when(best['h'] == 0, F.lit('und')).otherwise(best['l'])
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normal form (rolling-hash class;
+    md5 chosen because Spark and DuckDB produce identical hex)."""
+    return F.md5(normalized(text).cast('binary'))

@@ -1,0 +1,143 @@
+"""Entity canonicalization & linking (north_star additions — NOT in the
+reference, which delegates all identity resolution to
+``dgraph live --upsertPredicate xid --xidmap``; see
+/root/reference/samples/planets/publish.sh:12-13 and SURVEY §2.6).
+
+Three pieces:
+
+1. **Salted dedup** of entity xids: triple-level ``dropDuplicates`` runs as
+   a two-phase hash aggregate (map-side partial → final), so hot
+   conversations never concentrate on one reducer.  For *extremely* skewed
+   keys an explicit salt column forces an extra pre-aggregation round.
+2. **Broadcast dictionary linking**: edge objects (e.g. raw tool names) are
+   joined against a small canonical dictionary with ``F.broadcast`` — a
+   map-side hash join, zero shuffle of the big side.
+3. **Graph completion** for the transcript model: turn→conversation edges,
+   conversation nodes, canonical tool nodes.
+
+Skew strategy at 10^12-turn scale: AQE skew-join splitting
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py) handles join
+skew at runtime; explicit salting here covers the aggregation path, where
+AQE cannot split a single hot group.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .vertical import TRIPLE_COLUMNS
+
+
+def dedup_triples(triples: DataFrame, salt_buckets: Optional[int] = None) -> DataFrame:
+    """Exact dedup of (subject, predicate, object, type).
+
+    Plain ``dropDuplicates`` already executes as partial+final hash
+    aggregate (map-side combine absorbs hot subjects).  With
+    ``salt_buckets``, an explicit two-phase variant: first dedup within
+    (key, salt) — salt derived deterministically from the full tuple hash,
+    no randomness — then dedup the (much smaller) survivors globally.
+    """
+    if not salt_buckets:
+        return triples.dropDuplicates(TRIPLE_COLUMNS)
+    salted = triples.withColumn(
+        '_salt',
+        F.pmod(F.xxhash64(*TRIPLE_COLUMNS), F.lit(salt_buckets)),
+    )
+    phase1 = salted.dropDuplicates(TRIPLE_COLUMNS + ['_salt']).drop('_salt')
+    return phase1.dropDuplicates(TRIPLE_COLUMNS)
+
+
+def link_entities(
+    edges: DataFrame,
+    dictionary: DataFrame,
+    raw_col: str = 'raw',
+    canonical_col: str = 'canonical',
+    target_predicates: Optional[list] = None,
+) -> DataFrame:
+    """Rewrite edge objects through a canonical dictionary (alias → entity).
+
+    ``dictionary(raw, canonical)`` is broadcast — map-side hash join, the
+    triple stream is never shuffled.  Unmatched objects pass through
+    unchanged (left join + coalesce).  ``target_predicates`` restricts the
+    rewrite to specific edge predicates.
+    """
+    dim = F.broadcast(
+        dictionary.select(F.col(raw_col).alias('_raw'), F.col(canonical_col).alias('_canonical'))
+    )
+    joined = edges.join(dim, on=edges['object'] == dim['_raw'], how='left')
+    new_object = F.coalesce(F.col('_canonical'), F.col('object'))
+    if target_predicates:
+        new_object = F.when(
+            F.col('predicate').isin(target_predicates), new_object
+        ).otherwise(F.col('object'))
+    return joined.withColumn('object', new_object).drop('_raw', '_canonical')
+
+
+def conversation_edges(
+    transcripts: DataFrame,
+    key_seperator: str = '_',
+    turn_type: str = 'turn',
+    conversation_type: str = 'conversation',
+    assume_unique_keys: bool = True,
+) -> DataFrame:
+    """turn→conversation edge triples:
+    ``<turn_{conv}_{idx}> <conv> <conversation_{conv}> .``
+
+    Derived straight from the source table — no join needed, the xid
+    convention carries the linkage (same convention the reference relies on,
+    docs/horizontal_and_vertical_formats.md:72-81).
+    """
+    df = transcripts.select(
+        F.concat_ws(
+            key_seperator,
+            F.lit(turn_type),
+            F.col('conv_id'),
+            F.col('turn_idx').cast('string'),
+        ).alias('subject'),
+        F.lit('conv').alias('predicate'),
+        F.concat_ws(key_seperator, F.lit(conversation_type), F.col('conv_id')).alias('object'),
+        F.lit(None).cast('string').alias('type'),
+    )
+    return df if assume_unique_keys else df.dropDuplicates(['subject'])
+
+
+def conversation_nodes(
+    transcripts: DataFrame,
+    key_seperator: str = '_',
+    conversation_type: str = 'conversation',
+) -> DataFrame:
+    """One ``dgraph.type`` intrinsic triple per distinct conversation.
+    Distinct over conv_id only — a pre-aggregated (partial agg) shuffle of
+    the key column, not the full table."""
+    return (
+        transcripts.select('conv_id')
+        .distinct()
+        .select(
+            F.concat_ws(key_seperator, F.lit(conversation_type), F.col('conv_id')).alias('subject'),
+            F.lit('dgraph.type').alias('predicate'),
+            F.lit(conversation_type).alias('object'),
+            F.lit('<xs:string>').alias('type'),
+        )
+    )
+
+
+def tool_nodes(
+    edges: DataFrame,
+    tool_predicate: str = 'tool',
+    tool_type: str = 'tool',
+) -> DataFrame:
+    """dgraph.type triples for every distinct tool entity referenced by
+    tool edges (objects are already qualified xids like ``tool_websearch``)."""
+    return (
+        edges.filter(F.col('predicate') == tool_predicate)
+        .select('object')
+        .distinct()
+        .select(
+            F.col('object').alias('subject'),
+            F.lit('dgraph.type').alias('predicate'),
+            F.lit(tool_type).alias('object'),
+            F.lit('<xs:string>').alias('type'),
+        )
+    )

@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines (engine additions —
+"deduplication" per the task brief): exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design notes (the point at 100 TB):
+
+- exact dedup: hash-groupBy on md5(text) — partial agg absorbs duplicates
+  map-side before the shuffle; only one (hash → min id) pair per group
+  crosses the wire.
+- shingle joins: the candidate generator joins on shingle/bucket keys, never
+  all-pairs; ``max_df`` drops ultra-frequent shingles (the classic hot-key
+  guard — a shingle appearing in k docs contributes k² candidate pairs).
+- MinHash/LSH: signatures are per-doc aggregations (map-side partial);
+  candidates only join within a band bucket.
+- All hashes are md5-derived → deterministic, identical in DuckDB oracles.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine
+from ..functions.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """One surviving id per distinct text (min id wins).
+    Returns (fingerprint, keep_id, n_dups)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias('fp'), F.col(id_col))
+        .groupBy('fp')
+        .agg(
+            F.min(id_col).alias('keep_id'),
+            F.count('*').alias('n_dups'),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text', n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams of the normal form.
+    Expression-only: sequence + transform + slice, then explode."""
+    toks = tokens(F.col(text_col))
+    # guard: Spark sequence(1, 0) would COUNT DOWN ([1,0]); short docs get
+    # an empty shingle set instead
+    sh = F.when(F.size(toks) < n, F.array().cast('array<string>')).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), ' '),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias('id'), F.explode(sh).alias('shingle'))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
+
+    shingle-join candidate generation: |A∩B| from a self-join on shingle,
+    |A|,|B| from per-doc counts, J = ∩ / (|A|+|B|−∩).  ``max_df`` removes
+    shingles present in more than max_df docs before the join (hot-key
+    guard; mirrored in the oracle).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_df:
+        freq = sh.groupBy('shingle').count().filter(F.col('count') <= max_df).select('shingle')
+        sh = sh.join(F.broadcast(freq), 'shingle')
+    sizes = sh.groupBy('id').agg(F.count('*').alias('sz'))
+
+    a = sh.select(F.col('id').alias('id_a'), 'shingle')
+    b = sh.select(F.col('id').alias('id_b'), 'shingle')
+    inter = (
+        a.join(b, 'shingle')
+        .filter(F.col('id_a') < F.col('id_b'))
+        .groupBy('id_a', 'id_b')
+        .agg(F.count('*').alias('inter'))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({'id': 'id_a', 'sz': 'sz_a'}), 'id_a')
+        .join(sizes.withColumnsRenamed({'id': 'id_b', 'sz': 'sz_b'}), 'id_b')
+        .withColumn('jaccard', F.round(F.col('inter') / (F.col('sz_a') + F.col('sz_b') - F.col('inter')), 6))
+        .filter(F.col('jaccard') >= threshold)
+        .select('id_a', 'id_b', 'jaccard')
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: band j's value is min over shingles of
+    md5(shingle || '#' || j) — lexicographic min over fixed-length hex IS
+    numeric min, so no hex→int conversion is needed and the same expression
+    runs verbatim in DuckDB.  One row per doc: (id, sig_0..sig_{b-1})."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col('shingle'), F.lit(f'#{j}')).cast('binary'))).alias(f'sig_{j}')
+        for j in range(bands)
+    ]
+    return sh.groupBy('id').agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    bands: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band bucket.
+
+    Plan shape matters: ONE signature aggregation (not a per-band union,
+    which would recompute the agg per band per join side), bands fanned out
+    with a narrow ``posexplode``, then pairs expanded *within* each bucket
+    group — a single shuffle on bucket, never an all-pairs join.
+    ``max_bucket`` drops degenerate hot buckets (a bucket of k docs yields
+    k² pairs — the LSH hot-key guard at scale)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, bands)
+    buckets = sigs.select(
+        'id',
+        F.posexplode(F.array(*[F.col(f'sig_{j}') for j in range(bands)])).alias('band', 'sig'),
+    ).select('id', F.concat(F.col('band').cast('string'), F.lit('|'), F.col('sig')).alias('bucket'))
+    grouped = (
+        buckets.groupBy('bucket')
+        .agg(F.collect_set('id').alias('ids'))
+        .filter((F.size('ids') >= 2) & (F.size('ids') <= max_bucket))
+    )
+    return (
+        grouped.select(F.col('ids'), F.explode('ids').alias('id_a'))
+        .select('id_a', F.explode('ids').alias('id_b'))
+        .filter(F.col('id_a') < F.col('id_b'))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text', bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over tokens (with multiplicity): token hash =
+    first 4 hex chars of md5 → 16-bit int; fingerprint bit b set iff the
+    weighted bit-sum is positive."""
+    tok = df.select(F.col(id_col).alias('id'), F.explode(tokens(F.col(text_col))).alias('tok'))
+    h = F.conv(F.substring(F.md5(F.col('tok').cast('binary')), 1, 4), 16, 10).cast('int')
+    tok = tok.withColumn('h', h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col('h'), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f'b{b}')
+        for b in range(bits)
+    ]
+    agg = tok.groupBy('id').agg(*bit_sums)
+    fp: Column = F.lit(0)
+    for b in range(bits):
+        fp = fp + F.when(F.col(f'b{b}') > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return agg.select('id', fp.alias('simhash'))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force verifier; candidate
+    generation at scale goes through simsearch.lsh buckets first)."""
+    a = df.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('va'))
+    b = df.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('vb'))
+    return (
+        a.join(b, F.col('id_a') < F.col('id_b'))
+        .withColumn('cos', F.round(cosine(F.col('va'), F.col('vb')), 6))
+        .filter(F.col('cos') >= threshold)
+        .select('id_a', 'id_b', 'cos')
+    )

@@ -28,6 +28,20 @@ from pyspark.sql import types as T
 from ..functions.render import render_value
 
 
+def _dtype_class(dtype: T.DataType, is_declared_dt: bool) -> str:
+    if is_declared_dt or isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return 'dt'
+    if isinstance(dtype, T.StringType):
+        return 'str'
+    if isinstance(dtype, T.BooleanType):
+        return 'bool'
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return 'int'
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return 'float'
+    return 'other'
+
+
 def melt_expressions(
     df: DataFrame,
     id_vars: Sequence[str],
@@ -42,6 +56,21 @@ def melt_expressions(
     ``Series.replace(regex)`` only touches values that are *strings* in the
     original frame (reference vertical_helpers.py:196), so only predicates
     sourced from string columns get scrubbed downstream.
+
+    Dtype promotion parity: pandas ``melt`` concatenates every value column
+    into ONE Series, so the joint dtype changes lexical forms (verified
+    empirically against pandas 2.2 concat):
+
+    - all int/float/bool with ≥1 float → float64: ints render ``23.0``,
+      bools ``1.0``, float32 widens to double;
+    - int+bool (no float/str/dt) → numeric: bools render ``1``/``0``;
+    - any str/dt/other in the mix → object: every value keeps its own
+      ``str()`` form (ints ``23``, bools ``True``, floats shortest-repr).
+
+    Known deviation (expressions strategy only): float64 *non-integral*
+    values in [1e7, 1e16) render scientific in Java (``1.2E7``) vs
+    positional in Python — promoted *integral* values are handled exactly.
+    The arrow strategy has no deviation.
     """
     value_vars = list(value_vars) if value_vars is not None else [c for c in df.columns if c not in id_vars]
     if not value_vars:
@@ -53,12 +82,64 @@ def melt_expressions(
 
     string_sources = {c for c in value_vars if isinstance(dtypes[c], T.StringType)}
 
-    rendered = df.select(
+    classes = {c: _dtype_class(dtypes[c], c in dt_cols) for c in value_vars}
+    class_set = set(classes.values())
+    pure_f32 = all(isinstance(dtypes[c], T.FloatType) for c in value_vars)
+    if class_set <= {'int', 'float', 'bool'} and 'float' in class_set:
+        mode = 'float'
+    elif class_set == {'int', 'bool'}:
+        mode = 'intbool'
+    else:
+        mode = 'object'
+
+    # Columns whose render needs the pandas-exact double repr: stage the
+    # (double, java-string) pair as real projection attributes first —
+    # pandas_double_str_parts references them ~20×, and inlining the cast
+    # subtree that many times made Catalyst planning + codegen compile the
+    # dominant cost (5-60 s per fresh plan, measured).
+    from ..functions.render import pandas_double_str_parts
+
+    needs_pds = [
+        c
+        for c in value_vars
+        if (mode == 'float' and classes[c] != 'bool' and not pure_f32)
+        or (mode == 'object' and classes[c] == 'float')
+    ]
+    staged = df
+    if needs_pds:
+        staged = df.select(
+            '*',
+            *[F.col(c).cast('double').alias(f'__pds_d_{c}') for c in needs_pds],
+        ).select(
+            '*',
+            *[F.col(f'__pds_d_{c}').cast('string').alias(f'__pds_s_{c}') for c in needs_pds],
+        )
+
+    def _render(c: str):
+        col, dtype, cls = F.col(c), dtypes[c], classes[c]
+        if c in needs_pds:
+            return pandas_double_str_parts(F.col(f'__pds_d_{c}'), F.col(f'__pds_s_{c}'))
+        if mode == 'float':
+            if cls == 'bool':
+                return (
+                    F.when(col.isNull(), F.lit(None).cast('string'))
+                    .when(col, F.lit('1.0'))
+                    .otherwise(F.lit('0.0'))
+                )
+            # pure-f32 frame stays float32 through pandas melt;
+            # astype(str) is numpy's shortest float32 repr == Spark cast
+            return col.cast('string')
+        if mode == 'intbool' and cls == 'bool':
+            return (
+                F.when(col.isNull(), F.lit(None).cast('string'))
+                .when(col, F.lit('1'))
+                .otherwise(F.lit('0'))
+            )
+        return render_value(col, dtype, as_datetime=(c in dt_cols))
+
+    rendered = staged.select(
         *[F.col(c) for c in id_vars],
-        *[
-            render_value(F.col(c), dtypes[c], as_datetime=(c in dt_cols)).alias(c)
-            for c in value_vars
-        ],
+        *[_render(c).alias(c) for c in value_vars],
     )
     long_df = rendered.unpivot(
         ids=list(id_vars), values=value_vars, variableColumnName='predicate', valueColumnName='object'

@@ -99,8 +99,14 @@ def subject_expr(
     ``concat_ws`` — the reference's row-wise ``apply`` escape (its own perf
     comment at :43-46) is unnecessary under codegen.
     """
+    # pandas renders a missing key as 'None' (object/string columns hold
+    # None) or 'nan' (numeric columns hold NaN) — keep that distinction.
     parts = [
-        F.coalesce(render_value(F.col(k), dtypes[k]), F.lit('nan')) for k in key
+        F.coalesce(
+            render_value(F.col(k), dtypes[k]),
+            F.lit('None') if isinstance(dtypes[k], T.StringType) else F.lit('nan'),
+        )
+        for k in key
     ]
     return F.concat_ws(key_seperator, F.lit(dgraph_type), *parts)
 
@@ -261,7 +267,14 @@ def vertical_transform(
 
     # R3 — dgraph.type records (vertical_helpers.py:70-84)
     if add_dgraph_type_records:
+        # the wide-keys shortcut (distinct over R keys instead of R×M long
+        # rows) is only valid when no earlier stage removed rows: csv_edges
+        # drops null-csv rows and ignore_fields drops predicates, either of
+        # which can eliminate a subject entirely (reference then emits no
+        # dgraph.type row for it)
         wide_keys: Optional[DataFrame] = kwargs.get('_wide_keys_df')
+        if csv_edges or ignore_fields:
+            wide_keys = None
         if wide_keys is not None:
             key_dtypes = {f.name: f.dataType for f in wide_keys.schema.fields}
             subjects = wide_keys.select(
@@ -365,7 +378,14 @@ def vertical_transform(
 
     # C9 — edge object qualification (vertical_helpers.py:216-249), pure
     # expressions instead of the reference's in-place row mutation.
-    obj_safe = F.coalesce(F.col('object'), F.lit('nan'))
+    # str(None)='None' for string-sourced predicates, str(nan)='nan' for
+    # numeric ones (only reachable when drop_na_edge_objects=False).
+    if all_string:
+        null_form = F.lit('None')
+    else:
+        edge_str_names = [p.replace('_id', '') for p in str_preds] if strip_id_from_edge_names else str_preds
+        null_form = F.when(F.col('predicate').isin(edge_str_names), F.lit('None')).otherwise(F.lit('nan')) if edge_str_names else F.lit('nan')
+    obj_safe = F.coalesce(F.col('object'), null_form)
     if override_edge_name:
         obj_expr: Column = F.concat(F.col('predicate'), F.lit(key_seperator), obj_safe)
         pred_expr: Column = F.col('predicate')

@@ -1,0 +1,138 @@
+"""Materialization + per-partition lineage + idempotent resume
+(north_star additions; the reference's closest analogue is the chunked-file
+loop at /root/reference/dgraphpandas/rdf.py:77-80 — batch incremental,
+SURVEY §2.9/§4).
+
+Layout under ``output_dir``:
+
+    data/conv_bucket=NN/part-*.parquet   triple rows for one bucket
+    manifest/bucket=NN.json              committed lineage row per bucket
+
+A bucket's manifest row is written only after its data is fully on disk and
+re-read (read-back verification), so the manifest IS the commit marker.
+Resume = process only buckets without a manifest row; dynamic partition
+overwrite makes a re-run of a half-written bucket byte-identical (the
+pipeline is deterministic end-to-end: hash-derived salts, no Date.now/rand).
+
+Buckets come from ``pmod(xxhash64(bucket_key), n_buckets)`` — the same
+Iceberg-style ``bucket(N, conv_id)`` layout, Parquet-backed because this
+sandbox has no Iceberg runtime jars (BASELINE.md); swap the writer for an
+Iceberg table when the runtime is present.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = 'conv_bucket'
+
+
+def with_bucket(df: DataFrame, n_buckets: int, bucket_key: str = 'subject') -> DataFrame:
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast('int'))
+
+
+def committed_buckets(output_dir: str) -> List[int]:
+    mdir = os.path.join(output_dir, 'manifest')
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith('bucket=') and name.endswith('.json'):
+            out.append(int(name[len('bucket='):-len('.json')]))
+    return sorted(out)
+
+
+def load_manifest(output_dir: str) -> Dict[int, dict]:
+    mdir = os.path.join(output_dir, 'manifest')
+    rows: Dict[int, dict] = {}
+    for b in committed_buckets(output_dir):
+        with open(os.path.join(mdir, f'bucket={b}.json')) as f:
+            rows[b] = json.load(f)
+    return rows
+
+
+def _commit_manifest(output_dir: str, rows: List[dict]) -> None:
+    mdir = os.path.join(output_dir, 'manifest')
+    os.makedirs(mdir, exist_ok=True)
+    for row in rows:
+        path = os.path.join(mdir, f"bucket={row['bucket']}.json")
+        tmp = path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(row, f)
+        os.replace(tmp, path)  # atomic commit marker
+
+
+def materialize_triples(
+    triples: DataFrame,
+    output_dir: str,
+    n_buckets: int = 64,
+    bucket_key: str = 'subject',
+    stage: str = 'triples',
+    waves: int = 1,
+    fail_after_wave: Optional[int] = None,
+) -> Dict[int, dict]:
+    """Write the triple frame partitioned by conv bucket, committing a
+    lineage manifest row per bucket; resumes idempotently.
+
+    ``waves`` splits pending buckets into groups committed independently
+    (checkpoint granularity); ``fail_after_wave`` is a test hook simulating
+    a mid-run crash.  Returns the full manifest after this run.
+    """
+    spark = triples.sparkSession
+    done = set(committed_buckets(output_dir))
+    pending = [b for b in range(n_buckets) if b not in done]
+    if not pending:
+        return load_manifest(output_dir)
+
+    data_dir = os.path.join(output_dir, 'data')
+    bucketed = with_bucket(triples, n_buckets, bucket_key)
+
+    wave_size = max(1, (len(pending) + waves - 1) // waves)
+    spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+
+    for w in range(0, len(pending), wave_size):
+        wave_buckets = pending[w:w + wave_size]
+        subset = bucketed.filter(F.col(BUCKET_COL).isin(wave_buckets))
+        (
+            subset.write.mode('overwrite')
+            .partitionBy(BUCKET_COL)
+            .parquet(data_dir)
+        )
+        # read-back verification: lineage metrics come from the files as
+        # written, not from the in-flight computation
+        written = spark.read.parquet(data_dir).filter(F.col(BUCKET_COL).isin(wave_buckets))
+        stats = (
+            written.groupBy(BUCKET_COL)
+            .agg(
+                F.count('*').alias('rows'),
+                # XOR fold: order-independent, overflow-free (ANSI-safe)
+                F.bit_xor(F.xxhash64('subject', 'predicate', 'object')).alias('checksum'),
+            )
+            .collect()
+        )
+        stats_by_bucket = {r[BUCKET_COL]: r for r in stats}
+        rows = []
+        for b in wave_buckets:  # empty buckets commit too (rows=0)
+            r = stats_by_bucket.get(b)
+            rows.append({
+                'stage': stage,
+                'bucket': b,
+                'rows': int(r['rows']) if r else 0,
+                'checksum': int(r['checksum']) if r and r['checksum'] is not None else 0,
+                'status': 'committed',
+            })
+        _commit_manifest(output_dir, rows)
+        if fail_after_wave is not None and (w // wave_size) + 1 >= fail_after_wave:
+            raise RuntimeError(f'simulated failure after wave {fail_after_wave}')
+
+    return load_manifest(output_dir)
+
+
+def read_triples(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read back a materialized triple table (bucket-pruned scans: filter on
+    conv_bucket prunes partitions at the source)."""
+    return spark.read.parquet(os.path.join(output_dir, 'data'))

@@ -1,0 +1,116 @@
+"""End-to-end RDF export pipeline (EP1/EP2 of the reference lifecycle).
+
+Parity: /root/reference/dgraphpandas/rdf.py:16-145 (``_resolve_transform``,
+``to_rdf``, ``to_rdf_from_frame``) and its sinks:
+
+- S5 CSV sink (rdf.py:118-126)      → ``df.write.csv(header=True)``
+- S6 gzip RDF sink (rdf.py:128-143) → ``df.write.option('compression',
+  'gzip').text(...)`` — per-partition ``part-*.txt.gz`` files replace the
+  reference's chunk-indexed ``_2,_3…`` files (S2: Spark's unit of work IS the
+  partition, SURVEY §2.1)
+- S9 console sink (rdf.py:104-106)  → ``df.show()``
+
+``chunk_size`` maps to ``maxRecordsPerFile`` so output file sizing stays
+user-controllable at any scale without a repartition shuffle.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import get_from_config, load_config
+from ..operators.horizontal import horizontal_transform
+from ..operators.vertical import vertical_transform
+from ..writers.upserts import generate_upserts
+
+
+def resolve_transform(config: Dict[str, Any]):
+    """Parity: rdf.py:16-34 — horizontal unless config says vertical."""
+    if config is None:
+        raise ValueError('config')
+    if config.get('transform') == 'vertical':
+        return vertical_transform
+    return horizontal_transform
+
+
+def _read_source(spark: SparkSession, path: str, file_config: Dict[str, Any], **kwargs) -> DataFrame:
+    if path.endswith('.parquet') or path.endswith('.pq'):
+        return spark.read.parquet(path)
+    read_csv_options = dict(get_from_config('read_csv_options', file_config, {}, **kwargs))
+    sep = read_csv_options.pop('sep', read_csv_options.pop('delimiter', ','))
+    return (
+        spark.read.option('header', True)
+        .option('inferSchema', True)
+        .option('sep', sep)
+        .options(**read_csv_options)
+        .csv(path)
+    )
+
+
+def to_rdf(
+    frame: Union[str, DataFrame],
+    config: Union[Dict[str, Any], str],
+    config_key: str,
+    output_dir: Union[str, None] = None,
+    **kwargs,
+) -> Tuple[DataFrame, DataFrame]:
+    """Transform a table (DataFrame or file path) into RDF upsert-line
+    DataFrames, optionally exporting gzip N-Quads / debug CSVs.
+
+    Returns ``(intrinsic_lines, edges_lines)`` — lazy DataFrames of
+    ``line: string`` (the reference returns eager Python lists,
+    rdf.py:145).
+    """
+    if frame is None:
+        raise ValueError('frame')
+    if not config:
+        raise ValueError('config')
+    if not config_key:
+        raise ValueError('config_key')
+
+    config = load_config(config)
+    transform = resolve_transform(config)
+    file_config = config['files'][config_key]
+
+    source_name = config_key
+    if isinstance(frame, str):
+        source_name = os.path.basename(frame).split('.')[0]
+        frame = _read_source(SparkSession.getActiveSession(), frame, file_config, **kwargs)
+
+    console = get_from_config('console', config, False, **kwargs)
+    export_csv = get_from_config('export_csv', file_config, False, **kwargs)
+    export_rdf = get_from_config('export_rdf', file_config, False, **kwargs)
+    chunk_size = get_from_config('chunk_size', config, 10_000_000, **kwargs)
+
+    intrinsic, edges = transform(frame, config, config_key, **kwargs)
+    if console:
+        intrinsic.show(truncate=False)
+        edges.show(truncate=False)
+
+    intrinsic_lines, edges_lines = generate_upserts(intrinsic, edges)
+
+    if output_dir is not None:
+        intrinsic_base = os.path.join(output_dir, f'{source_name}_intrinsic')
+        edges_base = os.path.join(output_dir, f'{source_name}_edges')
+
+        if export_csv:
+            intrinsic.write.mode('overwrite').option('header', True).csv(intrinsic_base + '.csv')
+            edges.write.mode('overwrite').option('header', True).csv(edges_base + '.csv')
+
+        if export_rdf:
+            (
+                intrinsic_lines.write.mode('overwrite')
+                .option('compression', 'gzip')
+                .option('maxRecordsPerFile', chunk_size)
+                .text(intrinsic_base + '.gz')
+            )
+            (
+                edges_lines.write.mode('overwrite')
+                .option('compression', 'gzip')
+                .option('maxRecordsPerFile', chunk_size)
+                .text(edges_base + '.gz')
+            )
+
+    return intrinsic_lines, edges_lines

@@ -1,0 +1,74 @@
+"""Structured Streaming triple extraction.
+
+The reference has no streaming surface (SURVEY §2.9) — its chunked-file loop
+(rdf.py:71-80) is batch-incremental.  This module is the Spark-native
+extension: a ``readStream`` over a transcript directory (new files = new
+turns), the same transform chain (it is pure Column expressions, so it
+applies unchanged to a streaming DataFrame), and a ``foreachBatch`` sink
+reusing the batch materializer for exactly-once bucket commits.
+
+``Trigger.AvailableNow`` gives the batch-equivalent semantics the lineage
+layer expects: drain everything currently available, checkpoint, stop —
+the incremental-ELT pattern for Iceberg-snapshot feeds.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.horizontal import horizontal_transform
+from ..operators.vertical import TRIPLE_COLUMNS
+
+
+def stream_transcripts(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = 'conv_id string, turn_idx int, role string, text string, tool string, ts timestamp',
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option('maxFilesPerTrigger', max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_triples(
+    stream_df: DataFrame,
+    config: Dict[str, Any],
+    config_key: str,
+    **kwargs,
+) -> DataFrame:
+    """Apply the horizontal transform to a streaming DataFrame.
+
+    The transform chain is stateless Column expressions, so it lifts to
+    streaming directly — except the dgraph.type distinct (R3), a global
+    aggregation not allowed in append-mode streams.  Subjects of transcript
+    streams are unique per (conv_id, turn_idx), so ``assume_unique_subjects``
+    is forced here: dgraph.type rows emit per input row with no state.
+    Output: single union frame with intrinsic rows (type set) and edge rows
+    (type null), tagged by ``is_edge``.
+    """
+    from pyspark.sql import functions as F
+
+    intrinsic, edges = horizontal_transform(
+        stream_df, config, config_key, assume_unique_subjects=True, **kwargs
+    )
+    return intrinsic.withColumn('is_edge', F.lit(False)).unionByName(
+        edges.withColumn('is_edge', F.lit(True))
+    )
+
+
+def write_stream_available_now(
+    triples_stream: DataFrame,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+):
+    """Drain all available input through ``batch_fn`` (typically a wrapper
+    around plans.lineage.materialize_triples), then stop."""
+    return (
+        triples_stream.writeStream.trigger(availableNow=True)
+        .option('checkpointLocation', checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .start()
+    )

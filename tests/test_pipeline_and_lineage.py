@@ -1,0 +1,166 @@
+"""End-to-end pipeline, materialization/lineage/resume, canonicalization,
+streaming, and generator determinism tests."""
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+
+from dgraphpandas_spark.operators.canonicalize import (
+    conversation_edges,
+    conversation_nodes,
+    dedup_triples,
+    link_entities,
+    tool_nodes,
+)
+from dgraphpandas_spark.plans.lineage import (
+    committed_buckets,
+    load_manifest,
+    materialize_triples,
+    read_triples,
+)
+from dgraphpandas_spark.plans.pipeline import to_rdf
+from dgraphpandas_spark.sources.transcripts import (
+    TRANSCRIPT_CONFIG,
+    synthetic_transcripts,
+    tool_dictionary,
+)
+
+
+@pytest.fixture(scope='module')
+def transcripts(spark):
+    return synthetic_transcripts(spark, n_turns=2000, seed=42).cache()
+
+
+def test_generator_deterministic_and_skewed(spark, transcripts):
+    a = transcripts.collect()
+    b = synthetic_transcripts(spark, n_turns=2000, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    counts = sorted(
+        (r['cnt'] for r in transcripts.groupBy('conv_id').count().withColumnRenamed('count', 'cnt').collect()),
+        reverse=True,
+    )
+    assert counts[0] >= 10 * counts[len(counts) // 2], 'conv_id should be Zipf-skewed'
+    cols = transcripts.columns
+    assert cols == ['conv_id', 'turn_idx', 'role', 'text', 'tool', 'ts']
+
+
+def test_to_rdf_gzip_export(spark, transcripts, tmp_path):
+    out = str(tmp_path / 'rdf')
+    ilines, elines = to_rdf(
+        transcripts, TRANSCRIPT_CONFIG, 'turn', output_dir=out, export_rdf=True
+    )
+    n_i = ilines.count()
+    assert n_i > 0 and elines.count() > 0
+
+    gz_files = glob.glob(os.path.join(out, 'turn_intrinsic.gz', 'part-*.gz'))
+    assert gz_files, 'expected gzip part files'
+    lines = []
+    for g in gz_files:
+        with gzip.open(g, 'rt') as f:
+            lines.extend(f.read().splitlines())
+    assert len(lines) == n_i
+    assert all(l.endswith(' .') and l.startswith('<turn_') for l in lines[:50])
+
+
+def test_materialize_resume_idempotent(spark, transcripts, tmp_path):
+    from dgraphpandas_spark import horizontal_transform
+
+    intrinsic, _ = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
+
+    # single-pass run = golden
+    full_dir = str(tmp_path / 'full')
+    manifest_full = materialize_triples(intrinsic, full_dir, n_buckets=8, waves=1)
+    assert len(manifest_full) == 8
+
+    # crash after wave 1 of 4, then resume
+    crash_dir = str(tmp_path / 'crash')
+    with pytest.raises(RuntimeError, match='simulated failure'):
+        materialize_triples(intrinsic, crash_dir, n_buckets=8, waves=4, fail_after_wave=1)
+    done_after_crash = committed_buckets(crash_dir)
+    assert 0 < len(done_after_crash) < 8
+
+    manifest_resumed = materialize_triples(intrinsic, crash_dir, n_buckets=8, waves=4)
+    assert len(manifest_resumed) == 8
+
+    # byte-identical content and identical lineage rows
+    golden = sorted(map(tuple, read_triples(spark, full_dir).collect()))
+    resumed = sorted(map(tuple, read_triples(spark, crash_dir).collect()))
+    assert golden == resumed
+    assert {b: (m['rows'], m['checksum']) for b, m in manifest_full.items()} == {
+        b: (m['rows'], m['checksum']) for b, m in manifest_resumed.items()
+    }
+    # resume is a no-op when everything is committed
+    again = materialize_triples(intrinsic, crash_dir, n_buckets=8, waves=4)
+    assert again == manifest_resumed
+
+
+def test_canonicalize_link_and_nodes(spark, transcripts):
+    from pyspark.sql import functions as F
+
+    from dgraphpandas_spark import horizontal_transform
+
+    _, edges = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
+    edges = edges.cache()
+
+    # dictionary maps qualified tool xids to canonical halves
+    dictionary = tool_dictionary(spark, n_tools=50).select(
+        F.concat(F.lit('tool_'), F.col('tool_name')).alias('raw'),
+        F.concat(F.lit('tool_'), F.col('canonical')).alias('canonical'),
+    )
+    linked = link_entities(edges, dictionary, target_predicates=['tool'])
+    n_raw = edges.select('object').distinct().count()
+    n_canon = linked.select('object').distinct().count()
+    assert n_canon < n_raw, 'alias collapsing should shrink the entity set'
+    assert linked.count() == edges.count(), 'linking must not drop or duplicate edges'
+
+    convs = conversation_edges(transcripts)
+    assert convs.count() == transcripts.count()
+    r = convs.first()
+    assert r['predicate'] == 'conv' and r['object'].startswith('conversation_')
+
+    cn = conversation_nodes(transcripts)
+    assert cn.count() == transcripts.select('conv_id').distinct().count()
+
+    tn = tool_nodes(linked)
+    assert 0 < tn.count() <= 25 + 1  # 50 tools collapse to ≤25 canonical
+
+    deduped = dedup_triples(edges.unionByName(edges))
+    assert deduped.count() == edges.distinct().count()
+    salted = dedup_triples(edges.unionByName(edges), salt_buckets=4)
+    assert salted.count() == deduped.count()
+
+
+def test_streaming_available_now(spark, transcripts, tmp_path):
+    from dgraphpandas_spark.streaming.stream import (
+        stream_transcripts,
+        stream_triples,
+        write_stream_available_now,
+    )
+
+    src = str(tmp_path / 'src')
+    transcripts.write.mode('overwrite').parquet(src)
+
+    stream = stream_transcripts(spark, src)
+    assert stream.isStreaming
+    triples = stream_triples(stream, TRANSCRIPT_CONFIG, 'turn')
+
+    sink = str(tmp_path / 'sink')
+    os.makedirs(sink)
+    collected = []
+
+    def batch_fn(batch_df, batch_id):
+        batch_df.write.mode('append').parquet(sink)
+
+    q = write_stream_available_now(triples, str(tmp_path / 'ckpt'), batch_fn)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    from dgraphpandas_spark import horizontal_transform
+
+    ref_i, ref_e = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
+    assert got.filter('is_edge = false').count() == ref_i.count()
+    assert got.filter('is_edge = true').count() == ref_e.count()

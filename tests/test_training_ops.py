@@ -1,0 +1,136 @@
+"""Tests for training-data ops: text analysis, dedup family, similarity
+search, multimodal plumbing.  Semantics checks here; cross-engine parity is
+covered by tools/check_oracles.py + the driver's CORRECTNESS gate."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    return spark.read.parquet(f'{SF_DIR}/documents.parquet').cache()
+
+
+@pytest.fixture(scope='module')
+def emb(spark):
+    return spark.read.parquet(f'{SF_DIR}/embeddings.parquet').cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    from dgraphpandas_spark.operators.dedup import exact_dedup
+
+    doubled = docs.select('doc_id', 'text').unionByName(
+        docs.select((F.col('doc_id') + 10_000).alias('doc_id'), 'text')
+    )
+    out = exact_dedup(doubled)
+    assert out.count() == docs.count()
+    assert out.filter('n_dups = 2').count() == docs.count()
+    assert out.agg(F.max('keep_id')).first()[0] < 10_000  # min id wins
+
+
+def test_ngram_jaccard_and_minhash_agree_on_planted_dups(spark, docs):
+    from dgraphpandas_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    sample = docs.limit(30).select('doc_id', 'text')
+    doubled = sample.unionByName(
+        sample.select((F.col('doc_id') + 10_000).alias('doc_id'), 'text')
+    )
+    exact_pairs = {(r['doc_id'], r['doc_id'] + 10_000) for r in sample.collect()}
+
+    jac = {
+        (r['id_a'], r['id_b'])
+        for r in ngram_jaccard_pairs(doubled, threshold=0.99).collect()
+    }
+    assert exact_pairs <= jac
+
+    cand = {
+        (r['id_a'], r['id_b'])
+        for r in minhash_lsh_candidates(doubled, bands=4).collect()
+    }
+    assert exact_pairs <= cand  # identical docs share every band bucket
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark, docs):
+    from dgraphpandas_spark.operators.dedup import simhash
+
+    out = simhash(docs.limit(20))
+    assert out.count() == 20
+    vals = [r['simhash'] for r in out.collect()]
+    assert all(0 <= v < 2 ** 16 for v in vals)
+
+
+def test_text_functions(spark):
+    from dgraphpandas_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, 'the quick brown fox. it is fast!'), (2, 'der hund und die katze ist da'), (3, '')],
+        'doc_id int, text string',
+    )
+    out = df.select(
+        'doc_id',
+        TX.token_count(F.col('text')).alias('n'),
+        TX.lang_id(F.col('text')).alias('lang'),
+        TX.fingerprint(F.col('text')).alias('fp'),
+        F.round(TX.quality_score(F.col('text')), 6).alias('q'),
+    ).collect()
+    by_id = {r['doc_id']: r for r in out}
+    assert by_id[1]['n'] == 7 and by_id[1]['lang'] == 'en'
+    assert by_id[2]['lang'] == 'de'
+    assert by_id[3]['n'] == 0 and by_id[3]['lang'] == 'und'
+    assert len(by_id[1]['fp']) == 32
+    assert 0.0 <= by_id[1]['q'] <= 1.0
+
+
+def test_brute_force_topk_and_lsh(spark, emb):
+    from dgraphpandas_spark.operators.simsearch import (
+        brute_force_topk,
+        bucket_histogram,
+        lsh_topk,
+    )
+
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    top = brute_force_topk(emb, qvec, k=5).collect()
+    assert len(top) == 5
+    assert top[0]['vec_id'] == 0 and abs(top[0]['score'] - 1.0) < 1e-6
+    scores = [r['score'] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    hist = bucket_histogram(emb, n_planes=4, dim=len(qvec)).collect()
+    assert sum(r['n_vectors'] for r in hist) == emb.count()
+    assert len(hist) > 1, 'LSH should spread vectors over buckets'
+
+    lsh = lsh_topk(emb, qvec, k=5, n_planes=4)
+    rows = lsh.collect()
+    assert rows and rows[0]['vec_id'] == 0, 'query vector must be in its own bucket'
+
+
+def test_multimodal_stub_plumbing(spark):
+    from dgraphpandas_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n_rows=30)
+    feats = extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r['features']) == 8 for r in rows)
+    assert all(len(r['digest']) == 32 for r in rows)
+
+    again = extract_features(media, dim=8, fake=True).collect()
+    assert sorted(r['digest'] for r in rows) == sorted(r['digest'] for r in again)
+
+    plan = frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match='NotImplementedError|media decode'):
+        extract_features(media, fake=False).collect()
