@@ -11,8 +11,15 @@ a driver bottleneck or a shuffle):
 - conversations are generated as ``spark.range(n_convs)`` and their turn
   counts follow a deterministic Zipf(s) law over conversation rank —
   conversation 0 is the hottest (skew fixture for salting/AQE evidence);
-- turns are ``explode(sequence(0, len-1))`` — a narrow transformation, NO
-  shuffle, NO window function, fully parallel;
+- turns materialize via a two-level explode: conversations → fixed-size
+  *chunks* (≤ ``chunk`` turns each), a hash ``repartition`` of the tiny chunk
+  table (the ONLY shuffle, ~n_convs rows), then chunks → turns.  This keeps
+  task sizes even no matter how hot a conversation is: a 200k-turn
+  conversation becomes ~25 chunk rows spread across the cluster instead of
+  one 200k-row straggler task.  Value-level skew (hot ``conv_id`` keys) is
+  fully preserved for the salting/AQE skew fixtures; only task-size skew is
+  removed — exactly what a 100 TB generator must do, since every downstream
+  narrow stage inherits this layout;
 - all "randomness" derives from ``xxhash64(..., seed)`` — same seed ⇒
   byte-identical output at any parallelism (deterministic-resume
   requirement, SURVEY §7 hard-list item 5; no Date.now/rand anywhere).
@@ -65,10 +72,24 @@ def synthetic_transcripts(
         ).alias('n'),
     )
 
-    turns = convs.select(
+    # two-level explode: conversations → chunks (≤`chunk` turns) → turns.
+    # The chunk repartition is a tiny shuffle (~n_convs rows) that evens out
+    # task sizes; without it the hot Zipf head lands in one straggler task
+    # and the whole shuffle-free pipeline runs single-threaded.
+    chunk = 8192
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    chunks = convs.select(
         'conv_id',
         'conv_rank',
-        F.explode(F.sequence(F.lit(0), F.col('n') - 1)).alias('turn_idx'),
+        'n',
+        F.explode(F.expr(f'sequence(0L, (n - 1) div {chunk})')).alias('chunk_id'),
+    ).repartition(n_parts, 'conv_id', 'chunk_id')
+    turns = chunks.select(
+        'conv_id',
+        'conv_rank',
+        F.explode(
+            F.expr(f'sequence(chunk_id * {chunk}, least(n - 1, (chunk_id + 1) * {chunk} - 1))')
+        ).alias('turn_idx'),
     )
 
     h = F.abs(F.xxhash64('conv_id', 'turn_idx', F.lit(seed)))
