@@ -131,7 +131,11 @@ def main():
     cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
     sf = sf_of(sf_dir)
     n_turns = int(os.environ.get('SPARK_GRAFT_NTURNS', max(10_000, int(10_000_000 * sf))))
-    master = os.environ.get('SPARK_GRAFT_MASTER', f'local[{cpus}]')
+    # default single-JVM size capped at 16 threads: this KVM host penalizes
+    # >16 runnable threads in one process (measured — local[16] beats
+    # local[32] on the same job; see BENCH/BASELINE.md).  Explicit
+    # SPARK_GRAFT_MASTER (e.g. local[32], local-cluster[4,8,8192]) overrides.
+    master = os.environ.get('SPARK_GRAFT_MASTER', f'local[{min(cpus, 16)}]')
     kg_only = os.environ.get('SPARK_GRAFT_KG_ONLY') == '1'
 
     if master.startswith('local-cluster'):
