@@ -98,7 +98,13 @@ def materialize_triples(
         wave_buckets = pending[w:w + wave_size]
         subset = bucketed.filter(F.col(BUCKET_COL).isin(wave_buckets))
         (
-            subset.write.mode('overwrite')
+            # hash-repartition on the bucket column BEFORE partitionBy:
+            # without it every task writes a file into every bucket dir
+            # (tasks × buckets small files — fatal at scale); with it each
+            # bucket is written by exactly one task → one file per bucket,
+            # and n_buckets (not task count) is the file-count knob
+            subset.repartition(F.col(BUCKET_COL))
+            .write.mode('overwrite')
             .partitionBy(BUCKET_COL)
             .parquet(data_dir)
         )
