@@ -134,6 +134,7 @@ SCHEMA_CONFIG = {
 }
 
 PLANES = hyperplanes(8, 64, seed=42)
+CENTROIDS = hyperplanes(8, 64, seed=7)  # IVF coarse-quantizer constants
 
 # ------------------------------------------------------------- KG queries
 
@@ -273,6 +274,23 @@ def q_ann_lsh_histogram(spark, sf_dir):
     return SS.bucket_histogram(emb, n_planes=8, dim=64, seed=42)
 
 
+def q_ann_ivf_histogram(spark, sf_dir):
+    """IVF inverted-file directory: cell occupancy under the deterministic
+    coarse quantizer (CENTROIDS shared verbatim with the oracle SQL)."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    return (
+        SS.ivf_assign(emb, n_cells=8, dim=64, seed=7)
+        .groupBy('cell')
+        .agg(F.count('*').alias('n_vectors'))
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, 'embeddings')
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    return SS.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, seed=7)
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     return DD.embedding_neardup_pairs(_t(spark, sf_dir, 'embeddings'), threshold=0.4)
 
@@ -320,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_stats': q_text_stats,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_histogram': q_ann_lsh_histogram,
+        'ann_ivf_histogram': q_ann_ivf_histogram,
+        'ann_ivf_topk': q_ann_ivf_topk,
         'emb_neardup_pairs': q_emb_neardup_pairs,
         'multimodal_meta': q_multimodal_meta,
     }
@@ -410,6 +430,15 @@ def _simhash_sql(bits: int = 16) -> str:
         f'agg AS (SELECT id, {sums} FROM h GROUP BY id) '
         f'SELECT id, {fp} AS simhash FROM agg'
     )
+
+
+def _ivf_cell_sql(vec: str) -> str:
+    """0-based argmax over rounded centroid dots — mirrors
+    functions.similarity.ivf_cell (first max wins in both engines)."""
+    dots = ', '.join(
+        f'round({_dot_sql(vec, plane_sql_literal(c))}, 6)' for c in CENTROIDS
+    )
+    return f'(list_position([{dots}], list_max([{dots}])) - 1)'
 
 
 def _lsh_bucket_sql(vec: str) -> str:
@@ -602,6 +631,29 @@ LIMIT 10
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)
 SELECT {_lsh_bucket_sql('v')} AS bucket, count(*) AS n_vectors
 FROM e GROUP BY 1
+"""
+
+    sql['ann_ivf_histogram'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)
+SELECT {_ivf_cell_sql('v')} AS cell, count(*) AS n_vectors
+FROM e GROUP BY 1
+"""
+
+    # probe cells: top-2 centroid scores of the query vector (score DESC,
+    # cell ASC on ties) — same rule as operators.simsearch._query_cells
+    cent_rows = ' UNION ALL '.join(
+        f"SELECT {i} AS cell, round({_dot_sql('q.v', plane_sql_literal(c))}, 6) AS s FROM q"
+        for i, c in enumerate(CENTROIDS)
+    )
+    sql['ann_ivf_topk'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+probes AS (SELECT cell FROM ({cent_rows}) ORDER BY s DESC, cell ASC LIMIT 2)
+SELECT e.vec_id, round({_cosine_sql('e.v', 'q.v')}, 6) AS score
+FROM e, q
+WHERE {_ivf_cell_sql('e.v')} IN (SELECT cell FROM probes)
+ORDER BY score DESC, e.vec_id
+LIMIT 10
 """
 
     cos_ab = _cosine_sql('a.v', 'b.v')

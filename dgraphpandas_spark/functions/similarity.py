@@ -57,3 +57,16 @@ def plane_sql_literal(plane: Sequence[float]) -> str:
     """Render one hyperplane as a DuckDB list literal (full float repr so
     both engines see bit-identical constants)."""
     return '[' + ', '.join(repr(float(x)) for x in plane) + ']'
+
+
+def ivf_cell(vec: Column, centroids: Sequence[Sequence[float]], ndigits: int = 6) -> Column:
+    """IVF coarse-quantizer cell id: argmax over centroid dot products
+    (0-based; first max wins on ties).  Dots are rounded to ``ndigits`` so
+    Spark and the DuckDB oracle resolve near-ties identically.
+
+    Centroids here are deterministic seeded vectors (``hyperplanes``) —
+    a random-projection quantizer; at real scale you'd train them with
+    k-means and broadcast, the assignment expression is unchanged."""
+    scores = F.array(*[F.round(dot(vec, F.array(*[F.lit(float(x)) for x in c])), ndigits)
+                       for c in centroids])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast('int')

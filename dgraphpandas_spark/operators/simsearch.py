@@ -5,8 +5,10 @@
   shuffle except the final top-k (a TakeOrdered, driver gets k rows only).
 - ``lsh_topk``: sign-LSH bucketed variant — the scale path: buckets
   pre-partition the corpus so a query probes ~1/2^P of it.
-- ``ivf_assign``/``ivf_topk``: IVF-style inverted file over LSH buckets as
-  coarse cells (centroid-free deterministic variant: cell id IS the bucket).
+- ``ivf_assign``/``ivf_topk``: IVF inverted file — nearest-centroid cell
+  assignment (deterministic seeded centroids; swap in k-means-trained ones
+  at scale, the assignment expression is unchanged) with ``nprobe``-cell
+  query pruning.
 """
 from __future__ import annotations
 
@@ -15,7 +17,7 @@ from typing import List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine, hyperplanes, lsh_bucket
+from ..functions.similarity import cosine, hyperplanes, ivf_cell, lsh_bucket
 
 
 def brute_force_topk(
@@ -66,6 +68,56 @@ def lsh_topk(
     bucketed = df.withColumn('bucket', lsh_bucket(F.col(vec_col), planes))
     return (
         bucketed.filter(F.col('bucket') == qb)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias('score'))
+        .orderBy(F.col('score').desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Assign every vector to its IVF cell (nearest deterministic centroid).
+    At scale the assigned table is written partitioned by ``cell`` — the
+    inverted file; queries then prune to nprobe partitions at the scan."""
+    centroids = hyperplanes(n_cells, dim, seed)
+    return df.withColumn('cell', ivf_cell(F.col(vec_col), centroids))
+
+
+def _query_cells(query_vec: List[float], centroids, nprobe: int) -> List[int]:
+    scored = sorted(
+        (
+            (round(sum(float(a) * float(b) for a, b in zip(query_vec, c)), 6), -i)
+            for i, c in enumerate(centroids)
+        ),
+        reverse=True,
+    )
+    return [-neg_i for _, neg_i in scored[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Top-k within the query's ``nprobe`` nearest IVF cells: driver picks
+    the probe cells against the same centroid constants, the scan reads only
+    those cells (partition-pruned when the inverted file is materialized)."""
+    centroids = hyperplanes(n_cells, len(query_vec), seed)
+    probes = _query_cells(query_vec, centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = df.withColumn('cell', ivf_cell(F.col(vec_col), centroids))
+    return (
+        assigned.filter(F.col('cell').isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias('score'))
         .orderBy(F.col('score').desc(), F.col(id_col))
         .limit(k)

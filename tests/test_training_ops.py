@@ -134,3 +134,29 @@ def test_multimodal_stub_plumbing(spark):
 
     with _pytest.raises(Exception, match='NotImplementedError|media decode'):
         extract_features(media, fake=False).collect()
+
+
+def test_ivf_assign_and_topk(spark, emb):
+    from dgraphpandas_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    dim = len(qvec)
+
+    assigned = ivf_assign(emb, n_cells=8, dim=dim, seed=7)
+    cells = assigned.groupBy('cell').count().collect()
+    assert sum(r['count'] for r in cells) == emb.count(), 'every vector gets exactly one cell'
+    assert all(0 <= r['cell'] < 8 for r in cells)
+    assert len(cells) > 1, 'quantizer should spread vectors over cells'
+
+    rows = ivf_topk(emb, qvec, k=5, n_cells=8, nprobe=8, seed=7, vec_col='embedding').collect()
+    exact = brute_force_topk(emb, qvec, k=5).collect()
+    # probing ALL cells must reproduce the exact result
+    assert [r['vec_id'] for r in rows] == [r['vec_id'] for r in exact]
+
+    # probing 2/8 cells: query's own vector is in a probed cell by construction
+    rows2 = ivf_topk(emb, qvec, k=5, n_cells=8, nprobe=2, seed=7).collect()
+    assert rows2 and rows2[0]['vec_id'] == 0
