@@ -98,6 +98,39 @@ def extract_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFram
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, max_side: int = 32, fake: bool = True) -> DataFrame:
+    """Image resize via ``mapInPandas``: metadata is recomputed exactly
+    (aspect-preserving fit into ``max_side``); the pixel transform is the
+    stubbed decode step (fake=True → deterministic payload downsample by
+    byte striding, fake=False → NotImplementedError).  Non-image rows pass
+    through untouched."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            mask = out['kind'] == 'image'
+            if mask.any():
+                if not fake:
+                    raise NotImplementedError(
+                        'real image resize requires PIL — not available; use fake=True'
+                    )
+                metas, payloads = [], []
+                for meta, payload in zip(out.loc[mask, 'meta'], out.loc[mask, 'payload']):
+                    w, h = meta['width'], meta['height']
+                    scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
+                    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                    stride = max(1, int(round(1 / scale)) if scale < 1 else 1)
+                    metas.append({**meta, 'width': nw, 'height': nh})
+                    payloads.append(bytes(payload[::stride]))  # decode stub
+                out.loc[mask, 'meta'] = pd.Series(metas, index=out.index[mask])
+                out.loc[mask, 'payload'] = pd.Series(payloads, index=out.index[mask])
+            yield out
+
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into the frame
     timestamps a decoder would extract — pure expressions (the decode of

@@ -160,3 +160,22 @@ def test_ivf_assign_and_topk(spark, emb):
     # probing 2/8 cells: query's own vector is in a probed cell by construction
     rows2 = ivf_topk(emb, qvec, k=5, n_cells=8, nprobe=2, seed=7).collect()
     assert rows2 and rows2[0]['vec_id'] == 0
+
+
+def test_multimodal_resize(spark):
+    from dgraphpandas_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n_rows=30)
+    resized = resize_images(media, max_side=32, fake=True)
+    rows = {r['media_id']: r for r in resized.collect()}
+    orig = {r['media_id']: r for r in media.collect()}
+    assert len(rows) == 30
+    for mid, r in rows.items():
+        if r['kind'] == 'image':
+            assert max(r['meta']['width'], r['meta']['height']) <= 32
+            # aspect preserved within rounding
+            ow, oh = orig[mid]['meta']['width'], orig[mid]['meta']['height']
+            assert abs(r['meta']['width'] / r['meta']['height'] - ow / oh) < 0.2
+            assert 0 < len(r['payload']) <= len(orig[mid]['payload'])
+        else:
+            assert r['payload'] == orig[mid]['payload'], 'non-images pass through'
