@@ -1,0 +1,110 @@
+"""Property-based differential fuzzing: Hypothesis generates small tables
+and random config knobs; the same input runs through the reference
+(pandas) and our engine, and the rendered N-Quad upsert lines must match as
+multisets (intrinsic and edges separately).
+
+This goes beyond the hand-picked matrix (test_differential_matrix.py): the
+generator explores combinations the reference's own suite never pairs
+(e.g. csv_edges × custom key_separator × ignore_fields × illegal chars).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# text alphabet deliberately includes the scrub characters and separators
+_TEXT = st.text(
+    alphabet='abxyz %."\n_,:123',
+    min_size=0,
+    max_size=12,
+)
+
+_ROWS = st.integers(min_value=1, max_value=6)
+
+
+@st.composite
+def table_and_config(draw):
+    n = draw(_ROWS)
+    data = {'id': list(range(1, n + 1))}
+    # 1-3 extra columns of assorted types
+    col_specs = draw(
+        st.lists(
+            st.sampled_from(['str', 'int', 'float', 'nullable_str']),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    names = ['name', 'score', 'loc_id', 'note'][: len(col_specs)]
+    for cname, kind in zip(names, col_specs):
+        if kind == 'str':
+            data[cname] = [draw(_TEXT) for _ in range(n)]
+        elif kind == 'int':
+            data[cname] = [draw(st.integers(-1000, 1000)) for _ in range(n)]
+        elif kind == 'float':
+            data[cname] = [
+                round(draw(st.floats(-100, 100, allow_nan=False, allow_infinity=False)), 3)
+                for _ in range(n)
+            ]
+        else:
+            # first value non-null so Spark can infer the column type
+            data[cname] = [draw(_TEXT)] + [
+                draw(st.one_of(st.none(), _TEXT)) for _ in range(n - 1)
+            ]
+
+    candidates = [c for c in names if c != 'id']
+    edge_fields = draw(st.lists(st.sampled_from(candidates), max_size=1, unique=True)) if candidates else []
+    ignore = [c for c in draw(st.lists(st.sampled_from(candidates), max_size=1, unique=True))
+              if c not in edge_fields] if candidates else []
+
+    config = {
+        'files': {
+            'row': {
+                'subject_fields': ['id'],
+                **({'edge_fields': edge_fields} if edge_fields else {}),
+                **({'ignore_fields': ignore} if ignore else {}),
+            }
+        },
+        'key_separator': draw(st.sampled_from(['_', '::'])),
+        'add_dgraph_type_records': draw(st.booleans()),
+        'strip_id_from_edge_names': draw(st.booleans()),
+    }
+    return pd.DataFrame(data), config
+
+
+def _ref_lines(pdf, config):
+    from dgraphpandas.strategies.horizontal import horizontal_transform as ref_ht
+    from dgraphpandas.writers.upserts import generate_upserts as ref_gu
+
+    intrinsic, edges = ref_ht(pdf.copy(deep=True), config, 'row')
+    il, el = ref_gu(intrinsic, edges)
+    return sorted(il), sorted(el)
+
+
+def _our_lines(spark, pdf, config):
+    from dgraphpandas_spark.operators.horizontal import horizontal_transform
+    from dgraphpandas_spark.writers.upserts import generate_upserts
+
+    sdf = spark.createDataFrame(pdf)
+    intrinsic, edges = horizontal_transform(sdf, config, 'row')
+    il, el = generate_upserts(intrinsic, edges)
+    return (
+        sorted(r['line'] for r in il.collect()),
+        sorted(r['line'] for r in el.collect()),
+    )
+
+
+@pytest.mark.usefixtures('spark')
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(tc=table_and_config())
+def test_random_tables_match_reference(spark, tc):
+    pdf, config = tc
+    ref_i, ref_e = _ref_lines(pdf, config)
+    our_i, our_e = _our_lines(spark, pdf, config)
+    assert our_i == ref_i
+    assert our_e == ref_e
