@@ -94,7 +94,10 @@ def materialize_triples(
     wave_size = max(1, (len(pending) + waves - 1) // waves)
     spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
 
+    import time as _time
+
     for w in range(0, len(pending), wave_size):
+        wave_t0 = _time.time()
         wave_buckets = pending[w:w + wave_size]
         subset = bucketed.filter(F.col(BUCKET_COL).isin(wave_buckets))
         (
@@ -121,6 +124,7 @@ def materialize_triples(
             .collect()
         )
         stats_by_bucket = {r[BUCKET_COL]: r for r in stats}
+        wave_ms = int((_time.time() - wave_t0) * 1000)
         rows = []
         for b in wave_buckets:  # empty buckets commit too (rows=0)
             r = stats_by_bucket.get(b)
@@ -130,6 +134,10 @@ def materialize_triples(
                 'rows': int(r['rows']) if r else 0,
                 'checksum': int(r['checksum']) if r and r['checksum'] is not None else 0,
                 'status': 'committed',
+                # metrics (north_rule: per-partition lineage + metrics):
+                # wall time of the wave that committed this bucket
+                'wave': w // wave_size,
+                'wave_ms': wave_ms,
             })
         _commit_manifest(output_dir, rows)
         if fail_after_wave is not None and (w // wave_size) + 1 >= fail_after_wave:

