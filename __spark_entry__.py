@@ -402,8 +402,10 @@ def _lang_sql() -> str:
 
 
 def _minhash_sql(bands: int = 4, n: int = 3) -> str:
+    # numeric 60-bit signature prefix — mirrors operators.dedup
     sigs = ', '.join(
-        f"min(md5(s || '#{j}')) AS sig_{j}" for j in range(bands)
+        f"min(('0x' || substr(md5(s || '#{j}'), 1, 15))::bigint) AS sig_{j}"
+        for j in range(bands)
     )
     buckets = ' UNION ALL '.join(
         f"SELECT id, '{j}|' || sig_{j} AS bucket FROM sigs" for j in range(bands)

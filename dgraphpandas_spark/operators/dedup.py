@@ -103,12 +103,22 @@ def minhash_signatures(
     bands: int = 8,
 ) -> DataFrame:
     """Per-doc MinHash signature: band j's value is min over shingles of
-    md5(shingle || '#' || j) — lexicographic min over fixed-length hex IS
-    numeric min, so no hex→int conversion is needed and the same expression
-    runs verbatim in DuckDB.  One row per doc: (id, sig_0..sig_{b-1})."""
+    the first 60 bits of md5(shingle || '#' || j), as a LONG.
+
+    Numeric (not hex-string) signatures matter for the plan: ``min`` over
+    string/binary has an immutable aggregation buffer and falls back to
+    SortAggregate (sort + spill per group); ``min`` over LONG runs as
+    HashAggregate with map-side partial combine — the shape you want when
+    grouping 10^12 shingle rows.  60 bits of a uniform hash preserve
+    MinHash semantics; the same ``('0x'||substr(md5,1,15))::bigint``
+    conversion runs in the DuckDB oracle."""
     sh = shingles(df, id_col, text_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.col('shingle'), F.lit(f'#{j}')).cast('binary'))).alias(f'sig_{j}')
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col('shingle'), F.lit(f'#{j}'))), 1, 15), 16, 10
+            ).cast('long')
+        ).alias(f'sig_{j}')
         for j in range(bands)
     ]
     return sh.groupBy('id').agg(*aggs)
