@@ -295,6 +295,14 @@ def q_emb_neardup_pairs(spark, sf_dir):
     return DD.embedding_neardup_pairs(_t(spark, sf_dir, 'embeddings'), threshold=0.4)
 
 
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Scale path: LSH-blocked near-dup pairs (equi-join on bucket, no
+    nested-loop; recall<1 vs the exact variant by construction)."""
+    return DD.embedding_neardup_pairs_lsh(
+        _t(spark, sf_dir, 'embeddings'), threshold=0.4, n_planes=8, dim=64, seed=42
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Opaque-binary plumbing: documents.text as a binary payload column,
     typed metadata extracted JVM-side (md5 digest, byte length)."""
@@ -340,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_histogram': q_ann_lsh_histogram,
         'ann_ivf_histogram': q_ann_ivf_histogram,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'emb_neardup_lsh': q_emb_neardup_lsh,
         'emb_neardup_pairs': q_emb_neardup_pairs,
         'multimodal_meta': q_multimodal_meta,
     }
@@ -663,6 +672,15 @@ LIMIT 10
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos
 FROM e a, e b
+WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
+"""
+
+    sql['emb_neardup_lsh'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+                  {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
+           FROM embeddings)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos
+FROM e a JOIN e b USING (bucket)
 WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
 """
 

@@ -194,3 +194,38 @@ def embedding_neardup_pairs(
         .filter(F.col('cos') >= threshold)
         .select('id_a', 'id_b', 'cos')
     )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: block by sign-LSH bucket first,
+    then score only within-bucket pairs — an EQUI-join on bucket (shuffle
+    hash/SMJ) instead of the exact variant's O(n²) nested-loop.  High-cosine
+    pairs land in the same bucket with probability (1 − θ/π)^P, so this is
+    a recall<1 approximation; raise recall with fewer planes or multi-probe,
+    verify survivors with the exact cosine (done here in the same pass)."""
+    from ..functions.similarity import hyperplanes, lsh_bucket
+
+    planes = hyperplanes(n_planes, dim, seed)
+    bucketed = df.select(
+        F.col(id_col).alias('id'),
+        F.col(vec_col).alias('v'),
+        lsh_bucket(F.col(vec_col), planes).alias('bucket'),
+    )
+    a = bucketed.select(F.col('id').alias('id_a'), F.col('v').alias('va'), 'bucket')
+    b = bucketed.select(F.col('id').alias('id_b'), F.col('v').alias('vb'), 'bucket')
+    return (
+        a.join(b, 'bucket')
+        .filter(F.col('id_a') < F.col('id_b'))
+        .withColumn('cos', F.round(cosine(F.col('va'), F.col('vb')), 6))
+        .filter(F.col('cos') >= threshold)
+        .select('id_a', 'id_b', 'cos')
+        .distinct()
+    )

@@ -179,3 +179,21 @@ def test_multimodal_resize(spark):
             assert 0 < len(r['payload']) <= len(orig[mid]['payload'])
         else:
             assert r['payload'] == orig[mid]['payload'], 'non-images pass through'
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
+    from dgraphpandas_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    dim = len(emb.first()['embedding'])
+    exact = {(r['id_a'], r['id_b']) for r in
+             embedding_neardup_pairs(emb, threshold=0.4).collect()}
+    lsh8 = {(r['id_a'], r['id_b']) for r in
+            embedding_neardup_pairs_lsh(emb, threshold=0.4, n_planes=8, dim=dim).collect()}
+    lsh2 = {(r['id_a'], r['id_b']) for r in
+            embedding_neardup_pairs_lsh(emb, threshold=0.4, n_planes=2, dim=dim).collect()}
+    assert lsh8 <= exact, 'LSH blocking must never invent pairs'
+    assert lsh2 <= exact
+    assert len(lsh2) >= len(lsh8), 'fewer planes → coarser blocks → higher recall'
