@@ -58,14 +58,36 @@ def table_and_config(draw):
     ignore = [c for c in draw(st.lists(st.sampled_from(candidates), max_size=1, unique=True))
               if c not in edge_fields] if candidates else []
 
+    file_config = {
+        'subject_fields': ['id'],
+        **({'edge_fields': edge_fields} if edge_fields else {}),
+        **({'ignore_fields': ignore} if ignore else {}),
+    }
+
+    # csv_edges on a string column: comma-packed objects explode into edges
+    str_cols = [c for c, k in zip(names, col_specs) if k == 'str' and c not in ignore]
+    if str_cols and draw(st.booleans()):
+        file_config['csv_edges'] = [str_cols[0]]
+
+    # type_overrides on an int column (lexical form '7' not '7.0')
+    int_cols = [c for c, k in zip(names, col_specs) if k == 'int']
+    if int_cols and draw(st.booleans()):
+        file_config['type_overrides'] = {int_cols[0]: 'int32'}
+
+    # pre_rename of one non-subject column
+    if candidates and draw(st.booleans()):
+        file_config['pre_rename'] = {candidates[0]: 'renamed'}
+
+    # override_edge_name is deliberately NOT fuzzed: the reference applies
+    # it via an in-place row mutation from a DISCARDED apply() return
+    # (vertical_helpers.py:234-245, vertical.py:110), which under pandas ≥ 2
+    # silently no-ops for some frame shapes (fuzzer-discovered: a 1-row
+    # uniform-dtype edges frame leaves BOTH the override and the default
+    # qualification unapplied).  The intended behavior is pinned by the
+    # matrix test (override_edge_name case); see SURVEY §5 landmines.
+
     config = {
-        'files': {
-            'row': {
-                'subject_fields': ['id'],
-                **({'edge_fields': edge_fields} if edge_fields else {}),
-                **({'ignore_fields': ignore} if ignore else {}),
-            }
-        },
+        'files': {'row': file_config},
         'key_separator': draw(st.sampled_from(['_', '::'])),
         'add_dgraph_type_records': draw(st.booleans()),
         'strip_id_from_edge_names': draw(st.booleans()),
