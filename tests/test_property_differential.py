@@ -130,3 +130,46 @@ def test_random_tables_match_reference(spark, tc):
     our_i, our_e = _our_lines(spark, pdf, config)
     assert our_i == ref_i
     assert our_e == ref_e
+
+
+@pytest.mark.usefixtures('spark')
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(tc=table_and_config())
+def test_vertical_entry_matches_reference(spark, tc):
+    """Same fuzzed inputs through the VERTICAL entry: pre-melt the table to
+    (id, attr, val) EAV form and run both vertical_transforms with custom
+    predicate/object field names."""
+    pdf, config = tc
+    file_cfg = config['files']['row']
+    melted = pdf.melt(id_vars=['id'], var_name='attr', value_name='val')
+    # the vertical entry's contract is a STRING EAV object column; feed the
+    # SAME stringified values to both engines.  (Raw mixed-dtype objects
+    # would exercise another reference dtype quirk instead: its scrub
+    # silently skips non-string values, so a float 0.0 edge object keeps
+    # its '.' while a string '0.0' loses it.)
+    melted['val'] = melted['val'].map(lambda v: str(v) if pd.notna(v) else None)
+    # drop csv_edges/type_overrides interplay (horizontal-only semantics)
+    file_cfg.pop('type_overrides', None)
+    file_cfg['predicate_field'] = 'attr'
+    file_cfg['object_field'] = 'val'
+    vconfig = {**config, 'transform': 'vertical'}
+
+    from dgraphpandas.strategies.vertical import vertical_transform as ref_vt
+    from dgraphpandas.writers.upserts import generate_upserts as ref_gu
+
+    ref_i, ref_e = ref_vt(melted.copy(deep=True), vconfig, 'row')
+    ril, rel = ref_gu(ref_i, ref_e)
+
+    from dgraphpandas_spark.operators.vertical import vertical_transform
+    from dgraphpandas_spark.writers.upserts import generate_upserts
+
+    sdf = spark.createDataFrame(melted, 'id long, attr string, val string')
+    intrinsic, edges = vertical_transform(sdf, vconfig, 'row')
+    il, el = generate_upserts(intrinsic, edges)
+
+    assert sorted(r['line'] for r in il.collect()) == sorted(ril)
+    assert sorted(r['line'] for r in el.collect()) == sorted(rel)
