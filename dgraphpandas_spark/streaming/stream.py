@@ -59,6 +59,23 @@ def stream_triples(
     )
 
 
+def dedup_replayed_turns(
+    transcripts_stream: DataFrame,
+    lateness: str = '10 minutes',
+) -> DataFrame:
+    """Exactly-once turn ingestion under source replays: drop repeated
+    ``(conv_id, turn_idx)`` keys within a watermark window.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes (state is bounded by lateness × arrival
+    rate, not by history) — the streaming analogue of the batch pipeline's
+    unique-subject assumption, sized for 10^12-turn feeds where unbounded
+    dedup state is impossible."""
+    return transcripts_stream.withWatermark('ts', lateness).dropDuplicatesWithinWatermark(
+        ['conv_id', 'turn_idx']
+    )
+
+
 def write_stream_available_now(
     triples_stream: DataFrame,
     checkpoint_dir: str,

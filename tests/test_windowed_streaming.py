@@ -67,3 +67,32 @@ def test_watermark_drops_late_and_finalizes_windows(spark, tmp_path):
     # each finalized (window, tool) emitted exactly once across both runs
     all_rows = spark.read.parquet(out).groupBy('window_start', 'tool').count().collect()
     assert all(r['count'] == 1 for r in all_rows)
+
+
+def test_dedup_replayed_turns(spark, tmp_path):
+    from dgraphpandas_spark.streaming.stream import dedup_replayed_turns
+
+    input_dir, ckpt, out = (str(tmp_path / d) for d in ('din', 'dckpt', 'dout'))
+
+    base = _rows(spark, [('search', 0, 10), ('calc', 1, 5), (None, 2, 0)])
+    # replay: same three turns written twice (duplicate files)
+    base.write.mode('append').parquet(input_dir)
+    base.write.mode('append').parquet(input_dir)
+
+    deduped = dedup_replayed_turns(stream_transcripts(spark, input_dir))
+
+    def _append(batch_df, batch_id):
+        batch_df.write.mode('append').parquet(out)
+
+    q = (
+        deduped.writeStream.trigger(availableNow=True)
+        .option('checkpointLocation', ckpt)
+        .outputMode('append')
+        .foreachBatch(_append)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out)
+    assert rows.count() == 3, 'replayed duplicates must collapse to one row each'
+    assert rows.select('conv_id', 'turn_idx').distinct().count() == 3
