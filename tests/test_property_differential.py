@@ -9,10 +9,15 @@ generator explores combinations the reference's own suite never pairs
 """
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# deep-fuzz knob: HYPOTHESIS_MAX_EXAMPLES=200 python -m pytest ...
+_EXAMPLES = int(os.environ.get('HYPOTHESIS_MAX_EXAMPLES', '25'))
 
 # text alphabet deliberately includes the scrub characters and separators
 _TEXT = st.text(
@@ -119,7 +124,7 @@ def _our_lines(spark, pdf, config):
 
 @pytest.mark.usefixtures('spark')
 @settings(
-    max_examples=25,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -134,7 +139,7 @@ def test_random_tables_match_reference(spark, tc):
 
 @pytest.mark.usefixtures('spark')
 @settings(
-    max_examples=15,
+    max_examples=max(15, _EXAMPLES * 3 // 5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
