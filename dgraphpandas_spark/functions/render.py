@@ -62,35 +62,108 @@ def py_str_bool(col: Column) -> Column:
     )
 
 
-def pandas_double_str_parts(d: Column, s: Column) -> Column:
+def shortest_digits_input(d: Column, s: Column) -> Column:
+    """Digit string fed to the shortest-repr search (see
+    ``pandas_double_str_parts``): Java ≤18's ``Double.toString`` prints the
+    EXACT integer expansion of integral doubles (every double ≥ 2^53 is
+    integral), up to ~5 more significant digits than CPython's shortest
+    round-trip repr (JDK-4511638, fixed in JDK 19; this container runs 17).
+    For |d| in [1e16, 2^63) recover the exact expansion via ``cast(long)``
+    (also fixes half-digit rounding ties Java's 17-digit form can't
+    resolve); otherwise use Java's digits.  Trailing zeros stripped.
+    """
+    digits = F.concat(
+        F.regexp_extract(s, r'^-?(\d+)\.', 1), F.regexp_extract(s, r'\.(\d+)E', 1)
+    )
+    # upper bound: the literal 9.223372036854776e18 is exactly 2^63 as a
+    # double, so strict < admits precisely the long-castable doubles
+    exact_ok = (F.abs(d) >= 1e16) & (F.abs(d) < 9.223372036854776e18)
+    raw = F.when(exact_ok, F.abs(d).cast('long').cast('string')).otherwise(digits)
+    return F.regexp_replace(raw, '0+$', '')
+
+
+def _exp2(e: Column) -> Column:
+    """Python float-repr exponent: sign + two-digit-minimum magnitude.
+    (NOT ``lpad``: Spark's lpad TRUNCATES 3-digit exponents like 308.)"""
+    a = F.abs(e).cast('string')
+    return F.concat(
+        F.when(e >= 0, F.lit('+')).otherwise(F.lit('-')),
+        F.when(F.length(a) < 2, F.concat(F.lit('0'), a)).otherwise(a),
+    )
+
+
+def pandas_double_str_parts(
+    d: Column, s: Column, ds: Column = None, expn: Column = None
+) -> Column:
     """``str(float)`` rewrite given pre-staged ``d`` (double) and ``s``
     (its Java string form).  IMPORTANT: pass plain column *references* —
     this expression uses them ~20×, so inlining a non-trivial tree here
     multiplies plan size and codegen compile time (measured 5-20 s per
     fresh plan before staging).  ``melt`` stages them as projection
-    attributes for exactly this reason.
+    attributes for exactly this reason; it also stages ``ds``
+    (``shortest_digits_input``) and ``expn`` (the parsed base-10 exponent)
+    — pass those too in hot paths or the shortest-repr search below blows
+    past janino's 64 KB method limit and the stage loses codegen.
     """
     sign = F.when(s.startswith('-'), F.lit('-')).otherwise(F.lit(''))
     lead = F.regexp_extract(s, r'^-?(\d+)\.', 1)
     frac = F.regexp_extract(s, r'\.(\d+)E', 1)
-    expn = F.regexp_extract(s, r'E(-?\d+)$', 1).cast('int')
+    if expn is None:
+        expn = F.regexp_extract(s, r'E(-?\d+)$', 1).try_cast('int')
     digits = F.concat(lead, frac)
     digits_stripped = F.regexp_replace(digits, '0+$', '')
     frac_stripped = F.regexp_replace(frac, '0+$', '')
     ndig = F.length(digits)
     intlen = expn + F.lit(1)
 
-    mant = F.concat(
+    # Shortest-digits search for the scientific branch: try rounding the
+    # digit string k=5..1 digits shorter (round to nearest; the digit
+    # string is exact for integral doubles, see shortest_digits_input) and
+    # keep the shortest candidate that casts back to exactly ``d``; fall
+    # back to Java's digits.  Round-trip verification means every emitted
+    # string is a correct representation of ``d``; the fallback can differ
+    # lexically from CPython (one extra digit) only on non-integral /
+    # ≥2^63 sci-range doubles, measured <0.5% of those.
+    if ds is None:
+        ds = shortest_digits_input(d, s)
+    n = F.length(ds)
+
+    def _sci_render(c: Column, dropped: int) -> Column:
+        cs = c.cast('string')
+        cd = F.regexp_replace(cs, '0+$', '')
+        disp_exp = expn + F.length(cs) + F.lit(dropped) - n
+        mant_c = F.concat(
+            F.substr(cd, F.lit(1), F.lit(1)),
+            F.when(F.length(cd) > 1, F.concat(F.lit('.'), F.substr(cd, F.lit(2)))).otherwise(F.lit('')),
+        )
+        return F.concat(sign, mant_c, F.lit('e'), _exp2(disp_exp))
+
+    def _roundtrips(c: Column, dropped: int) -> Column:
+        cand_exp = expn + F.lit(1 + dropped) - n
+        back = F.concat(sign, c.cast('string'), F.lit('E'), cand_exp.cast('string')).try_cast('double')
+        return back == d
+
+    sci_java = F.concat(
         sign,
         lead,
         F.when(frac_stripped == '', F.lit('')).otherwise(F.concat(F.lit('.'), frac_stripped)),
-    )
-    sci = F.concat(
-        mant,
         F.lit('e'),
-        F.when(expn >= 0, F.lit('+')).otherwise(F.lit('-')),
-        F.lpad(F.abs(expn).cast('string'), 2, '0'),
+        _exp2(expn),
     )
+    branches = []
+    for k in (5, 4, 3, 2, 1):
+        # split the digit string (not long division: 17+-digit values lose
+        # precision through double arithmetic), round to the nearest
+        # k-digits-shorter integer candidate
+        # try_cast: ANSI mode, and '' (when n<=k) must yield NULL so the
+        # arm's condition nulls out — `&` does not short-circuit in codegen
+        c1 = F.substr(ds, F.lit(1), n - k).try_cast('long')
+        r = F.substr(ds, n - k + 1).try_cast('long')
+        c_near = F.when(r * 2 >= F.lit(10 ** k), c1 + 1).otherwise(c1)
+        branches.append(((n > k) & _roundtrips(c_near, k), _sci_render(c_near, k)))
+    sci = sci_java
+    for cond, val in reversed(branches):
+        sci = F.when(cond, val).otherwise(sci)
     pos_big = F.concat(
         sign,
         F.when(
@@ -111,10 +184,11 @@ def pandas_double_str_parts(d: Column, s: Column) -> Column:
         .when(d == float('inf'), F.lit('inf'))
         .when(d == float('-inf'), F.lit('-inf'))
         .when(~s.contains('E'), s)
-        .when(expn >= 16, sci)
-        .when(expn >= 7, pos_big)
+        .when((expn >= 7) & (expn <= 15), pos_big)
         .when(expn == -4, small4)
-        .otherwise(sci)
+        .otherwise(sci)  # sci referenced ONCE: the 5-arm shortest-digits
+        # search below it is the largest subtree in this expression and
+        # duplicating it breaks janino's 64 KB method limit
     )
 
 

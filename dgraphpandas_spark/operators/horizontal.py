@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from ..config import get_from_config
 from ..functions.strftime import strftime_to_spark
 from ..types import find_spark_type, is_datetime_type_name
-from .melt import melt
+from .melt import downcast_forced_columns, melt
 from .vertical import vertical_transform
 
 
@@ -110,12 +110,40 @@ def horizontal_transform(
     }
     value_vars = [c for c in frame.columns if c not in subject_fields]
 
+    # Post-filter scrub-downcast parity (see melt.downcast_forced_columns):
+    # resolve each column's branch fate with the same rules vertical_transform
+    # will use, then force float64 lexical form where the reference's
+    # Series.replace would downcast.
+    edge_fields = get_from_config('edge_fields', file_config, [], **kwargs)
+    if get_from_config('edge_id_convention', file_config, False, **kwargs):
+        # C12 acts pre-rename on the melted predicates == original col names
+        edge_fields = [c for c in value_vars if c.endswith('_id')]
+    elif callable(edge_fields):
+        edge_fields = edge_fields(frame) or []
+    pre_rename = get_from_config('pre_rename', file_config, {}, **kwargs)
+    force_double_cols = downcast_forced_columns(
+        dtypes={f.name: f.dataType for f in frame.schema.fields},
+        value_vars=value_vars,
+        datetime_columns=datetime_cols,
+        pre_rename=pre_rename,
+        ignore_fields=get_from_config('ignore_fields', file_config, [], **kwargs),
+        edge_fields=edge_fields,
+        add_dgraph_type_records=get_from_config('add_dgraph_type_records', config, True, **kwargs),
+        scrub_intrinsic_object=bool(
+            get_from_config('illegal_characters_intrinsic_object', config, ['\"', '\\n', '\\r\\n'], **kwargs)
+        ),
+        scrub_edge_object=bool(
+            get_from_config('illegal_characters', config, ['%', '\\.', '\\s', '\"', '\\n', '\\r\\n'], **kwargs)
+        ),
+    )
+
     long_frame, string_sources = melt(
         frame,
         id_vars=list(subject_fields),
         value_vars=value_vars,
         datetime_columns=datetime_cols,
         strategy=melt_strategy,
+        force_double_cols=force_double_cols,
     )
 
     internal = dict(kwargs)

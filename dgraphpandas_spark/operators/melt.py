@@ -42,11 +42,68 @@ def _dtype_class(dtype: T.DataType, is_declared_dt: bool) -> str:
     return 'other'
 
 
+def downcast_forced_columns(
+    dtypes: dict,
+    value_vars: Sequence[str],
+    datetime_columns: Iterable[str],
+    pre_rename: dict,
+    ignore_fields: Sequence[str],
+    edge_fields: Sequence[str],
+    add_dgraph_type_records: bool,
+    scrub_intrinsic_object: bool = True,
+    scrub_edge_object: bool = True,
+) -> Set[str]:
+    """Columns whose int values must render in float64 lexical form.
+
+    Parity: the reference's illegal-char scrub
+    (vertical_helpers.py:196 ``Series.replace``) runs over each branch's
+    object column AFTER the ignore/edge-split filters; pandas silently
+    downcasts an all-numeric object column to float64 when the surviving
+    values are an int+float mix (no str/bool/datetime left), re-rendering
+    ints as ``7.0``.  Verified empirically under pandas 2.2:
+    ``[0, 0.5] → float64``, but any bool or str in the mix keeps object
+    dtype and per-value ``str()`` forms.
+
+    Every source column's branch (intrinsic / edge / dropped) is known at
+    plan time, so the downcast is decided statically here (single-chunk
+    semantics; the reference decides per chunk, so its output is
+    chunk-boundary-dependent on such data — documented deviation).
+    dgraph.type rows are string-valued and land in intrinsic, so
+    ``add_dgraph_type_records`` blocks the intrinsic downcast.
+    """
+    dt_cols = set(datetime_columns)
+    classes = {c: _dtype_class(dtypes[c], c in dt_cols) for c in value_vars}
+    if set(classes.values()) <= {'int', 'float', 'bool'}:
+        return set()  # float/intbool melt promotion modes already model this
+    pre_rename = pre_rename or {}
+    ignore = set(ignore_fields or ())
+    edge_set = set(edge_fields or ())
+    forced: Set[str] = set()
+    for branch in ('intrinsic', 'edge'):
+        if branch == 'intrinsic' and (add_dgraph_type_records or not scrub_intrinsic_object):
+            continue
+        if branch == 'edge' and not scrub_edge_object:
+            continue
+        fated = []
+        for c in value_vars:
+            pred = pre_rename.get(c, c)
+            if pred in ignore:
+                continue
+            if (pred in edge_set) != (branch == 'edge'):
+                continue
+            fated.append(c)
+        branch_classes = {classes[c] for c in fated}
+        if fated and branch_classes <= {'int', 'float'} and 'float' in branch_classes:
+            forced |= {c for c in fated if classes[c] == 'int'}
+    return forced
+
+
 def melt_expressions(
     df: DataFrame,
     id_vars: Sequence[str],
     value_vars: Optional[Sequence[str]] = None,
     datetime_columns: Iterable[str] = (),
+    force_double_cols: Iterable[str] = (),
 ) -> Tuple[DataFrame, Set[str]]:
     """Wide→long with render-at-melt.  Returns (long_df, string_source_cols).
 
@@ -67,10 +124,12 @@ def melt_expressions(
     - any str/dt/other in the mix → object: every value keeps its own
       ``str()`` form (ints ``23``, bools ``True``, floats shortest-repr).
 
-    Known deviation (expressions strategy only): float64 *non-integral*
-    values in [1e7, 1e16) render scientific in Java (``1.2E7``) vs
-    positional in Python — promoted *integral* values are handled exactly.
-    The arrow strategy has no deviation.
+    Float lexical forms are pandas-exact across the full double range
+    (functions/render.py: positional window rewrite + shortest-digits
+    search); the one remaining deviation is non-integral or ≥2^63 doubles
+    in the scientific range, where Java's digits can carry one extra digit
+    (<0.5% of such values; both forms round-trip to the same double).  The
+    arrow strategy has no deviation.
     """
     value_vars = list(value_vars) if value_vars is not None else [c for c in df.columns if c not in id_vars]
     if not value_vars:
@@ -99,26 +158,45 @@ def melt_expressions(
     # dominant cost (5-60 s per fresh plan, measured).
     from ..functions.render import pandas_double_str_parts
 
+    force_double = set(force_double_cols)
     needs_pds = [
         c
         for c in value_vars
         if (mode == 'float' and classes[c] != 'bool' and not pure_f32)
         or (mode == 'object' and classes[c] == 'float')
+        or (mode == 'object' and c in force_double)
     ]
     staged = df
     if needs_pds:
+        from ..functions.render import shortest_digits_input
+
         staged = df.select(
             '*',
             *[F.col(c).cast('double').alias(f'__pds_d_{c}') for c in needs_pds],
         ).select(
             '*',
             *[F.col(f'__pds_d_{c}').cast('string').alias(f'__pds_s_{c}') for c in needs_pds],
+        ).select(
+            '*',
+            *[
+                shortest_digits_input(F.col(f'__pds_d_{c}'), F.col(f'__pds_s_{c}')).alias(f'__pds_g_{c}')
+                for c in needs_pds
+            ],
+            *[
+                F.regexp_extract(F.col(f'__pds_s_{c}'), r'E(-?\d+)$', 1).try_cast('int').alias(f'__pds_e_{c}')
+                for c in needs_pds
+            ],
         )
 
     def _render(c: str):
         col, dtype, cls = F.col(c), dtypes[c], classes[c]
         if c in needs_pds:
-            return pandas_double_str_parts(F.col(f'__pds_d_{c}'), F.col(f'__pds_s_{c}'))
+            return pandas_double_str_parts(
+                F.col(f'__pds_d_{c}'),
+                F.col(f'__pds_s_{c}'),
+                ds=F.col(f'__pds_g_{c}'),
+                expn=F.col(f'__pds_e_{c}'),
+            )
         if mode == 'float':
             if cls == 'bool':
                 return (
@@ -152,6 +230,7 @@ def melt_arrow(
     id_vars: Sequence[str],
     value_vars: Optional[Sequence[str]] = None,
     datetime_columns: Iterable[str] = (),
+    force_double_cols: Iterable[str] = (),
 ) -> Tuple[DataFrame, Set[str]]:
     """Arrow-batched melt running pandas' own ``melt`` + stringify per
     partition (``mapInPandas``) — exact lexical parity with the reference,
@@ -175,6 +254,7 @@ def melt_arrow(
     )
     ids = list(id_vars)
     values = list(value_vars)
+    force_double = set(force_double_cols)
 
     def gen(batches):
         import pandas as pd
@@ -183,6 +263,12 @@ def melt_arrow(
             m = pdf[ids + values].melt(id_vars=ids, var_name='predicate', value_name='object')
             obj = m['object']
             mask = obj.notna()
+            if force_double:
+                # post-filter scrub downcast parity (downcast_forced_columns)
+                fsel = mask & m['predicate'].isin(force_double)
+                if bool(fsel.any()):
+                    obj = obj.copy()
+                    obj.loc[fsel] = obj.loc[fsel].astype('float64')
             is_dt = m['predicate'].isin(dt_cols) if dt_cols else None
             rendered = pd.Series([None] * len(m), index=m.index, dtype='object')
             if is_dt is not None and bool(is_dt.any()):
@@ -204,7 +290,8 @@ def melt(
     value_vars: Optional[Sequence[str]] = None,
     datetime_columns: Iterable[str] = (),
     strategy: str = 'expressions',
+    force_double_cols: Iterable[str] = (),
 ) -> Tuple[DataFrame, Set[str]]:
     if strategy == 'arrow':
-        return melt_arrow(df, id_vars, value_vars, datetime_columns)
-    return melt_expressions(df, id_vars, value_vars, datetime_columns)
+        return melt_arrow(df, id_vars, value_vars, datetime_columns, force_double_cols)
+    return melt_expressions(df, id_vars, value_vars, datetime_columns, force_double_cols)

@@ -137,6 +137,61 @@ def test_random_tables_match_reference(spark, tc):
     assert our_e == ref_e
 
 
+# Pinned falsifying cases for the scrub-downcast parity rule
+# (melt.downcast_forced_columns): the reference's Series.replace scrub
+# silently downcasts an all-numeric object column to float64 after the
+# ignore/edge-split filters, so ints render '0.0'.  Found by the fuzzer
+# (round-1 VERDICT "What's wrong" #1); decided statically at plan time now.
+_DOWNCAST_CASES = [
+    # (data, file_config, global_config_overrides, id)
+    (  # VERDICT falsifier: str column ignored, no dgraph.type → downcast
+        {'id': [1], 'name': [0], 'score': [0.5], 'loc_id': ['x']},
+        {'subject_fields': ['id'], 'ignore_fields': ['loc_id']},
+        {'add_dgraph_type_records': False},
+        'ignored-str-no-type',
+    ),
+    (  # dgraph.type string rows block the intrinsic downcast
+        {'id': [1], 'name': [0], 'score': [0.5], 'loc_id': ['x']},
+        {'subject_fields': ['id'], 'ignore_fields': ['loc_id']},
+        {'add_dgraph_type_records': True},
+        'blocked-by-dgraph-type',
+    ),
+    (  # edge branch downcast: int+float edges, str keeps intrinsic object
+        {'id': [1, 2], 'a': [7, 8], 'b': [0.5, 1.5], 's': ['x', 'y']},
+        {'subject_fields': ['id'], 'edge_fields': ['a', 'b']},
+        {'add_dgraph_type_records': True},
+        'edge-branch-downcast',
+    ),
+    (  # a bool in the surviving mix keeps object dtype → no downcast
+        {'id': [1], 'x': [0], 'y': [0.5], 'z': [True], 's': ['q']},
+        {'subject_fields': ['id'], 'ignore_fields': ['s']},
+        {'add_dgraph_type_records': False},
+        'blocked-by-bool',
+    ),
+    (  # str routed to edges → intrinsic is int+float → downcast
+        {'id': [1], 'a': [3], 'b': [2.5], 's': ['x']},
+        {'subject_fields': ['id'], 'edge_fields': ['s']},
+        {'add_dgraph_type_records': False},
+        'str-routed-to-edges',
+    ),
+]
+
+
+@pytest.mark.parametrize('strategy', ['expressions', 'arrow'])
+@pytest.mark.parametrize(
+    'data,file_config,overrides,_id',
+    _DOWNCAST_CASES,
+    ids=[c[3] for c in _DOWNCAST_CASES],
+)
+def test_scrub_downcast_parity(spark, data, file_config, overrides, _id, strategy):
+    pdf = pd.DataFrame(data)
+    config = {'files': {'row': dict(file_config)}, 'melt_strategy': strategy, **overrides}
+    ref_i, ref_e = _ref_lines(pdf, config)
+    our_i, our_e = _our_lines(spark, pdf, config)
+    assert our_i == ref_i
+    assert our_e == ref_e
+
+
 @pytest.mark.usefixtures('spark')
 @settings(
     max_examples=max(15, _EXAMPLES * 3 // 5),
