@@ -245,6 +245,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_candidates(_documents_with_dups(spark, sf_dir), n=3, bands=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Full dedup pipeline: LSH candidates → exact-Jaccard verify →
+    connected components (min-label propagation) → per-cluster keep flag.
+    Oracle mirrors the components via a recursive CTE."""
+    out = DD.dedup_clusters(
+        _documents_with_dups(spark, sf_dir), n=3, bands=4, threshold=0.8
+    )
+    return out.withColumn('keep', F.col('keep').cast('int'))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, 'documents'), bits=16)
 
@@ -342,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
+        'dedup_clusters': q_dedup_clusters,
         'dedup_simhash': q_dedup_simhash,
         'text_stats': q_text_stats,
         'ann_cosine_topk': q_ann_cosine_topk,
@@ -410,8 +421,9 @@ def _lang_sql() -> str:
     )
 
 
-def _minhash_sql(bands: int = 4, n: int = 3) -> str:
-    # numeric 60-bit signature prefix — mirrors operators.dedup
+def _minhash_cand_ctes(bands: int = 4, n: int = 3, max_bucket: int = 10_000) -> str:
+    """CTE chain ending in ``cand(id_a, id_b)`` — numeric 60-bit signature
+    prefix + hot-bucket cap, mirrors operators.dedup.minhash_lsh_candidates."""
     sigs = ', '.join(
         f"min(('0x' || substr(md5(s || '#{j}'), 1, 15))::bigint) AS sig_{j}"
         for j in range(bands)
@@ -420,12 +432,47 @@ def _minhash_sql(bands: int = 4, n: int = 3) -> str:
         f"SELECT id, '{j}|' || sig_{j} AS bucket FROM sigs" for j in range(bands)
     )
     return (
-        f'WITH {_docs_dups_cte()}, {_shingles_cte(n)}, '
+        f'{_docs_dups_cte()}, {_shingles_cte(n)}, '
         f'sigs AS (SELECT id, {sigs} FROM sh GROUP BY id), '
-        f'buckets AS ({buckets}) '
-        f'SELECT DISTINCT a.id AS id_a, b.id AS id_b '
-        f'FROM buckets a JOIN buckets b USING (bucket) WHERE a.id < b.id'
+        f'buckets AS ({buckets}), '
+        f'bsz AS (SELECT bucket, count(*) AS c FROM buckets GROUP BY 1), '
+        f'okb AS (SELECT bucket FROM bsz WHERE c <= {max_bucket}), '
+        f'cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b '
+        f'FROM buckets a JOIN buckets b USING (bucket) JOIN okb USING (bucket) '
+        f'WHERE a.id < b.id)'
     )
+
+
+def _minhash_sql(bands: int = 4, n: int = 3) -> str:
+    return f'WITH {_minhash_cand_ctes(bands, n)} SELECT id_a, id_b FROM cand'
+
+
+def _clusters_sql(bands: int = 4, n: int = 3, threshold: float = 0.8) -> str:
+    """dedup_clusters oracle: LSH candidates → exact-Jaccard verify →
+    connected components via a recursive CTE (min reachable id = the same
+    fixpoint the engine's min-label propagation converges to)."""
+    return f"""
+WITH RECURSIVE {_minhash_cand_ctes(bands, n)},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+),
+und AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(id, label) AS (
+  SELECT DISTINCT doc_id, doc_id FROM docs
+  UNION
+  SELECT u.d, r.label FROM reach r JOIN und u ON u.s = r.id
+),
+labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+SELECT id, cluster_id, (id = cluster_id)::int AS keep FROM labels
+"""
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -594,12 +641,15 @@ SELECT md5({norm}) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
 FROM docs GROUP BY 1
 """
 
+    # max_df hot-shingle guard mirrored (engine default max_df=1000)
     sql['dedup_ngram_jaccard'] = f"""
 WITH {_docs_dups_cte()}, {_shingles_cte(3)},
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+shg AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT id, count(*) AS sz FROM shg GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b USING (s) WHERE a.id < b.id
+  FROM shg a JOIN shg b USING (s) WHERE a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -608,6 +658,7 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
 """
 
     sql['dedup_minhash_lsh'] = _minhash_sql(bands=4, n=3)
+    sql['dedup_clusters'] = _clusters_sql(bands=4, n=3, threshold=0.8)
     sql['dedup_simhash'] = _simhash_sql(bits=16)
 
     toks = _TOKS.format(col='text')
@@ -675,12 +726,14 @@ FROM e a, e b
 WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
 """
 
+    # hot-bucket cap mirrored (engine default max_bucket=10000)
     sql['emb_neardup_lsh'] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
                   {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
-           FROM embeddings)
+           FROM embeddings),
+okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000)
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos
-FROM e a JOIN e b USING (bucket)
+FROM e a JOIN e b USING (bucket) JOIN okb USING (bucket)
 WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
 """
 

@@ -62,19 +62,26 @@ def ngram_jaccard_pairs(
     text_col: str = 'text',
     n: int = 3,
     threshold: float = 0.8,
-    max_df: Optional[int] = None,
+    max_df: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
     shingle-join candidate generation: |A∩B| from a self-join on shingle,
     |A|,|B| from per-doc counts, J = ∩ / (|A|+|B|−∩).  ``max_df`` removes
-    shingles present in more than max_df docs before the join (hot-key
-    guard; mirrored in the oracle).
+    shingles present in more than max_df docs before the join — the
+    hot-key guard is ON by default (a shingle appearing in k docs yields
+    k² candidate rows; one stopword-ish shingle at 100 TB is a quadratic
+    blowup).  Pass ``max_df=None`` for exact small-data runs; the oracle
+    mirrors the guard.  NB the guard changes |A∩B| only for pairs whose
+    overlap includes an ultra-common shingle, and |A|,|B| stay exact, so
+    guarded Jaccard is a lower bound of the true value.
     """
     sh = shingles(df, id_col, text_col, n).cache()
     if max_df:
-        freq = sh.groupBy('shingle').count().filter(F.col('count') <= max_df).select('shingle')
-        sh = sh.join(F.broadcast(freq), 'shingle')
+        # broadcast the HOT list (small by construction: few ultra-frequent
+        # shingles) and anti-join — not the keep list, which is ~all shingles
+        hot = sh.groupBy('shingle').count().filter(F.col('count') > max_df).select('shingle')
+        sh = sh.join(F.broadcast(hot), 'shingle', 'left_anti')
     sizes = sh.groupBy('id').agg(F.count('*').alias('sz'))
 
     a = sh.select(F.col('id').alias('id_a'), 'shingle')
@@ -158,6 +165,120 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a given candidate pair list (id_a, id_b).
+
+    Cost is |pairs| × avg-shingles (two equi-joins + one agg), never
+    all-pairs — this is the verify stage that makes LSH candidates safe to
+    act on."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy('id').agg(F.count('*').alias('sz'))
+    sa = sh.select(F.col('id').alias('id_a'), 'shingle')
+    sb = sh.select(F.col('id').alias('id_b'), 'shingle')
+    inter = (
+        pairs.select('id_a', 'id_b')
+        .join(sa, 'id_a')
+        .join(sb, ['id_b', 'shingle'])
+        .groupBy('id_a', 'id_b')
+        .agg(F.count('*').alias('inter'))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({'id': 'id_a', 'sz': 'sz_a'}), 'id_a')
+        .join(sizes.withColumnsRenamed({'id': 'id_b', 'sz': 'sz_b'}), 'id_b')
+        .withColumn(
+            'jaccard',
+            F.round(F.col('inter') / (F.col('sz_a') + F.col('sz_b') - F.col('inter')), 6),
+        )
+        .select('id_a', 'id_b', 'jaccard')
+    )
+
+
+def connected_components(
+    ids: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``ids``: DataFrame[id] (one row per node, singletons included);
+    ``edges``: DataFrame[id_a, id_b] undirected pairs.  Returns
+    DataFrame[id, cluster_id] where cluster_id = min node id in the
+    component — converges in O(component diameter) rounds, each round one
+    shuffle-join + one shuffle-agg over (edge, label) rows only (labels
+    are ids, never payloads).  ``localCheckpoint`` truncates the plan per
+    round (iterative self-joins otherwise grow the lineage exponentially);
+    on a real cluster checkpoint to reliable storage instead.  Hub-node
+    skew in the join is handled by AQE skew-join (session default).
+    Raises if not converged within ``max_iter`` — near-dup components have
+    tiny diameters, so hitting the cap means pathological input.
+    """
+    und = edges.select(F.col('id_a').alias('src'), F.col('id_b').alias('dst')).unionByName(
+        edges.select(F.col('id_b').alias('src'), F.col('id_a').alias('dst'))
+    ).distinct().localCheckpoint()
+    labels = ids.select(F.col('id'), F.col('id').alias('label')).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnsRenamed({'id': 'src', 'label': 'src_label'}), 'src')
+            .groupBy('dst')
+            .agg(F.min('src_label').alias('nbr_label'))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed('dst', 'id'), 'id', 'left')
+            .select(
+                'id',
+                F.least(F.col('label'), F.coalesce('nbr_label', 'label')).alias('label'),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed('label', 'new_label')
+            .join(labels, 'id')
+            .filter(F.col('new_label') != F.col('label'))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.withColumnRenamed('label', 'cluster_id')
+    raise RuntimeError(f'connected_components did not converge in {max_iter} rounds')
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The operator a training-data pipeline actually runs: MinHash-LSH
+    candidates → exact-Jaccard verify → connected components → per-cluster
+    keep flag.  Returns DataFrame[id, cluster_id, keep] over ALL docs
+    (singletons are their own cluster); ``keep`` marks the cluster's min
+    id — filter on it for the deduplicated corpus.
+
+    Every stage is bucketed/equi-join (no all-pairs path): candidates from
+    band buckets (hot-bucket capped), verification joins only candidate
+    pairs, components propagate labels in O(diameter) bounded rounds.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, bands, max_bucket)
+    edges = jaccard_for_pairs(cand, df, id_col, text_col, n).filter(
+        F.col('jaccard') >= threshold
+    )
+    ids = df.select(F.col(id_col).alias('id')).distinct()
+    labels = connected_components(ids, edges, max_iter)
+    return labels.select(
+        'id', 'cluster_id', (F.col('id') == F.col('cluster_id')).alias('keep')
+    )
+
+
 def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text', bits: int = 16) -> DataFrame:
     """SimHash fingerprint over tokens (with multiplicity): token hash =
     first 4 hex chars of md5 → 16-bit int; fingerprint bit b set iff the
@@ -204,13 +325,18 @@ def embedding_neardup_pairs_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: Optional[int] = 10_000,
 ) -> DataFrame:
     """Scale path for embedding near-dup: block by sign-LSH bucket first,
     then score only within-bucket pairs — an EQUI-join on bucket (shuffle
     hash/SMJ) instead of the exact variant's O(n²) nested-loop.  High-cosine
     pairs land in the same bucket with probability (1 − θ/π)^P, so this is
     a recall<1 approximation; raise recall with fewer planes or multi-probe,
-    verify survivors with the exact cosine (done here in the same pass)."""
+    verify survivors with the exact cosine (done here in the same pass).
+
+    ``max_bucket`` (ON by default) drops degenerate hot buckets before the
+    self-join — a bucket of k vectors yields k² scored rows, the same
+    quadratic hot-key failure as a hot shingle; mirrored in the oracle."""
     from ..functions.similarity import hyperplanes, lsh_bucket
 
     planes = hyperplanes(n_planes, dim, seed)
@@ -219,6 +345,14 @@ def embedding_neardup_pairs_lsh(
         F.col(vec_col).alias('v'),
         lsh_bucket(F.col(vec_col), planes).alias('bucket'),
     )
+    if max_bucket:
+        # broadcast the HOT bucket list (small by construction) + anti-join
+        hot = (
+            bucketed.groupBy('bucket').count()
+            .filter(F.col('count') > max_bucket)
+            .select('bucket')
+        )
+        bucketed = bucketed.join(F.broadcast(hot), 'bucket', 'left_anti')
     a = bucketed.select(F.col('id').alias('id_a'), F.col('v').alias('va'), 'bucket')
     b = bucketed.select(F.col('id').alias('id_b'), F.col('v').alias('vb'), 'bucket')
     return (

@@ -197,3 +197,49 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
     assert lsh8 <= exact, 'LSH blocking must never invent pairs'
     assert lsh2 <= exact
     assert len(lsh2) >= len(lsh8), 'fewer planes → coarser blocks → higher recall'
+
+
+def test_dedup_clusters_groups_planted_dups(spark, docs):
+    from dgraphpandas_spark.operators.dedup import dedup_clusters
+
+    sample = docs.limit(20).select('doc_id', 'text')
+    # triple copies: doc, doc+10k, doc+20k → one 3-member cluster each
+    tripled = (
+        sample.unionByName(sample.select((F.col('doc_id') + 10_000).alias('doc_id'), 'text'))
+        .unionByName(sample.select((F.col('doc_id') + 20_000).alias('doc_id'), 'text'))
+    )
+    out = dedup_clusters(tripled, bands=4, threshold=0.99).cache()
+    assert out.count() == tripled.count()  # every doc labeled
+    base_ids = [r['doc_id'] for r in sample.collect()]
+    rows = {r['id']: (r['cluster_id'], r['keep']) for r in out.collect()}
+    for i in base_ids:
+        # all three copies share the min id as cluster, only the min keeps
+        assert rows[i] == (i, True)
+        assert rows[i + 10_000] == (i, False)
+        assert rows[i + 20_000] == (i, False)
+    # exactly one keeper per cluster
+    keepers = out.filter('keep').count()
+    assert keepers == out.select('cluster_id').distinct().count()
+
+
+def test_hot_shingle_guard_drops_quadratic_candidates(spark):
+    from dgraphpandas_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 docs sharing ONE hot shingle; otherwise fully distinct
+    rows = [(i, f'common hot shingle plus unique{i} words{i} here{i}') for i in range(40)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    unguarded = ngram_jaccard_pairs(df, threshold=0.01, max_df=None).count()
+    guarded = ngram_jaccard_pairs(df, threshold=0.01, max_df=10).count()
+    assert unguarded == 40 * 39 / 2  # the hot shingle makes all-pairs
+    assert guarded == 0  # guard removes the quadratic blowup
+
+
+def test_hot_bucket_guard_on_embedding_lsh(spark, emb):
+    from dgraphpandas_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    dim = len(emb.first()['embedding'])
+    # 0 planes → every vector in one bucket; cap 10 → bucket dropped entirely
+    capped = embedding_neardup_pairs_lsh(
+        emb, threshold=0.0, n_planes=0, dim=dim, max_bucket=10
+    ).count()
+    assert capped == 0
