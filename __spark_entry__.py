@@ -301,6 +301,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SS.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, seed=7)
 
 
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF with a k-means-TRAINED coarse quantizer (2 Lloyd rounds,
+    deterministic md5 init, centroids rounded per round) — the oracle
+    replays the identical training as SQL CTE rounds."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    cents = SS.train_ivf_centroids(emb, n_cells=8, iters=2)
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    return SS.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, centroids=cents)
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     return DD.embedding_neardup_pairs(_t(spark, sf_dir, 'embeddings'), threshold=0.4)
 
@@ -359,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_histogram': q_ann_lsh_histogram,
         'ann_ivf_histogram': q_ann_ivf_histogram,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
         'emb_neardup_lsh': q_emb_neardup_lsh,
         'emb_neardup_pairs': q_emb_neardup_pairs,
         'multimodal_meta': q_multimodal_meta,
@@ -445,6 +456,59 @@ def _minhash_cand_ctes(bands: int = 4, n: int = 3, max_bucket: int = 10_000) -> 
 
 def _minhash_sql(bands: int = 4, n: int = 3) -> str:
     return f'WITH {_minhash_cand_ctes(bands, n)} SELECT id_a, id_b FROM cand'
+
+
+def _trained_ivf_sql(
+    n_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    """Replays simsearch.train_ivf_centroids + ivf_topk in SQL: md5-ordered
+    init, per-round nearest-centroid assignment (round(dot,6) DESC, cell ASC
+    — first-max-wins like ivf_cell) and per-dim means rounded to 6 decimals
+    (so training error cannot propagate between engines)."""
+    avgs = ', '.join(f'round(avg(v[{i + 1}]), 6)' for i in range(dim))
+    dot = _dot_sql('e.v', 'c.c')
+    parts = [
+        'e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)',
+        'q AS (SELECT v FROM e WHERE vec_id = 0)',
+        (
+            'init AS (SELECT (row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1)::int AS cell, '
+            'list_transform(v, x -> round(x, 6)) AS c '
+            f'FROM (SELECT vec_id, v FROM e ORDER BY md5(vec_id::varchar), vec_id LIMIT {n_cells}))'
+        ),
+    ]
+    prev = 'init'
+    for it in range(iters):
+        parts.append(
+            f'assign{it} AS (SELECT vec_id, v, cell FROM ('
+            'SELECT e.vec_id, e.v, c.cell, row_number() OVER ('
+            f'PARTITION BY e.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
+            f'FROM e CROSS JOIN {prev} c) WHERE rn = 1)'
+        )
+        parts.append(f'cagg{it} AS (SELECT cell, [{avgs}] AS c FROM assign{it} GROUP BY cell)')
+        parts.append(
+            f'cent{it} AS (SELECT p.cell, coalesce(a.c, p.c) AS c '
+            f'FROM {prev} p LEFT JOIN cagg{it} a USING (cell))'
+        )
+        prev = f'cent{it}'
+    qdot = _dot_sql('q.v', 'c.c')
+    parts.append(
+        'probes AS (SELECT cell FROM ('
+        f'SELECT c.cell, round({qdot}, 6) AS s FROM {prev} c, q) '
+        f'ORDER BY s DESC, cell ASC LIMIT {nprobe})'
+    )
+    parts.append(
+        'fin AS (SELECT vec_id, v, cell FROM ('
+        'SELECT e.vec_id, e.v, c.cell, row_number() OVER ('
+        f'PARTITION BY e.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
+        f'FROM e CROSS JOIN {prev} c) WHERE rn = 1)'
+    )
+    cos = _cosine_sql('f.v', 'q.v')
+    return (
+        'WITH ' + ', '.join(parts)
+        + f' SELECT f.vec_id, round({cos}, 6) AS score FROM fin f, q '
+        'WHERE f.cell IN (SELECT cell FROM probes) '
+        f'ORDER BY score DESC, f.vec_id LIMIT {k}'
+    )
 
 
 def _clusters_sql(bands: int = 4, n: int = 3, threshold: float = 0.8) -> str:
@@ -717,6 +781,8 @@ WHERE {_ivf_cell_sql('e.v')} IN (SELECT cell FROM probes)
 ORDER BY score DESC, e.vec_id
 LIMIT 10
 """
+
+    sql['ann_ivf_trained_topk'] = _trained_ivf_sql(n_cells=8, iters=2, nprobe=2, k=10, dim=64)
 
     cos_ab = _cosine_sql('a.v', 'b.v')
     sql['emb_neardup_pairs'] = f"""

@@ -326,13 +326,20 @@ def embedding_neardup_pairs_lsh(
     dim: int = 64,
     seed: int = 42,
     max_bucket: Optional[int] = 10_000,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Scale path for embedding near-dup: block by sign-LSH bucket first,
     then score only within-bucket pairs — an EQUI-join on bucket (shuffle
     hash/SMJ) instead of the exact variant's O(n²) nested-loop.  High-cosine
     pairs land in the same bucket with probability (1 − θ/π)^P, so this is
-    a recall<1 approximation; raise recall with fewer planes or multi-probe,
-    verify survivors with the exact cosine (done here in the same pass).
+    a recall<1 approximation; verify survivors with the exact cosine (done
+    here in the same pass).
+
+    ``multi_probe=True`` additionally probes every Hamming-distance-1
+    bucket: one join side explodes to its P+1 neighbor buckets (input grows
+    ×(P+1), still an equi-join — never all-pairs), catching pairs split by
+    exactly one hyperplane.  Raises per-pair recall from p^P to
+    p^P + P·p^(P-1)(1−p) without coarsening the blocks.
 
     ``max_bucket`` (ON by default) drops degenerate hot buckets before the
     self-join — a bucket of k vectors yields k² scored rows, the same
@@ -354,7 +361,17 @@ def embedding_neardup_pairs_lsh(
         )
         bucketed = bucketed.join(F.broadcast(hot), 'bucket', 'left_anti')
     a = bucketed.select(F.col('id').alias('id_a'), F.col('v').alias('va'), 'bucket')
-    b = bucketed.select(F.col('id').alias('id_b'), F.col('v').alias('vb'), 'bucket')
+    b_src = bucketed
+    if multi_probe:
+        # asymmetric expansion: only ONE side probes its bit-flip neighbors,
+        # so a pair at Hamming distance 1 meets exactly where the flipped
+        # bit matches the other side's true bucket
+        probes = F.array(
+            F.col('bucket'),
+            *[F.col('bucket').bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+        )
+        b_src = bucketed.select('id', 'v', F.explode(probes).alias('bucket'))
+    b = b_src.select(F.col('id').alias('id_b'), F.col('v').alias('vb'), 'bucket')
     return (
         a.join(b, 'bucket')
         .filter(F.col('id_a') < F.col('id_b'))

@@ -54,9 +54,12 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = 'vec_id',
     vec_col: str = 'embedding',
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Top-k within the query's LSH bucket.  At scale the bucketed table is
-    written partitioned by bucket → partition-pruned scan per query."""
+    written partitioned by bucket → partition-pruned scan per query.
+    ``multi_probe=True`` also probes the P Hamming-distance-1 buckets
+    (P+1 pruned partitions instead of 1 — recall up, probe cost ×(P+1))."""
     planes = hyperplanes(n_planes, len(query_vec), seed)
     # driver-side bucket of the query (same arithmetic as the Column expr)
     qb = 0
@@ -64,14 +67,57 @@ def lsh_topk(
         d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
         if d > 0:
             qb += 2 ** i
+    probes = [qb] + ([qb ^ (2 ** i) for i in range(n_planes)] if multi_probe else [])
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = df.withColumn('bucket', lsh_bucket(F.col(vec_col), planes))
     return (
-        bucketed.filter(F.col('bucket') == qb)
+        bucketed.filter(F.col('bucket').isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias('score'))
         .orderBy(F.col('score').desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    ndigits: int = 6,
+) -> List[List[float]]:
+    """Lloyd's k-means coarse quantizer, fully deterministic (no rand):
+    init takes the first ``n_cells`` vectors in md5(id) order (a uniform
+    but replayable shuffle); each round assigns vectors to their nearest
+    centroid (``ivf_cell`` over centroid literals) and recomputes per-dim
+    means as ONE HashAggregate with ``dim`` avg columns — map-side partial
+    combine, so each round shuffles n_cells × dim partial sums per task,
+    never vectors.  Centroids are rounded to ``ndigits`` every round so the
+    DuckDB oracle can replay training bit-identically (error does not
+    propagate).  The driver holds only n_cells × dim floats per round —
+    the standard k-means driver loop (bounded, metadata-scale collects).
+    Empty cells keep their previous centroid.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    seed_rows = (
+        df.select(F.col(id_col).alias('id'), F.col(vec_col).alias('v'))
+        .orderBy(F.md5(F.col('id').cast('string')), F.col('id'))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[round(float(x), ndigits) for x in r['v']] for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_cell(F.col(vec_col), cents).alias('cell'), F.col(vec_col).alias('v')
+        )
+        aggs = [
+            F.round(F.avg(F.col('v')[i].cast('double')), ndigits).alias(f'd{i}')
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy('cell').agg(*aggs).collect()
+        new = {int(r['cell']): [float(r[f'd{i}']) for i in range(dim)] for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(n_cells)]
+    return cents
 
 
 def ivf_assign(
@@ -80,11 +126,15 @@ def ivf_assign(
     dim: int = 64,
     seed: int = 7,
     vec_col: str = 'embedding',
+    centroids: Sequence[Sequence[float]] = None,
 ) -> DataFrame:
-    """Assign every vector to its IVF cell (nearest deterministic centroid).
+    """Assign every vector to its IVF cell (nearest centroid).
     At scale the assigned table is written partitioned by ``cell`` — the
-    inverted file; queries then prune to nprobe partitions at the scan."""
-    centroids = hyperplanes(n_cells, dim, seed)
+    inverted file; queries then prune to nprobe partitions at the scan.
+    ``centroids``: trained list (``train_ivf_centroids``); defaults to the
+    seeded random-projection quantizer."""
+    if centroids is None:
+        centroids = hyperplanes(n_cells, dim, seed)
     return df.withColumn('cell', ivf_cell(F.col(vec_col), centroids))
 
 
@@ -108,11 +158,15 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = 'vec_id',
     vec_col: str = 'embedding',
+    centroids: Sequence[Sequence[float]] = None,
 ) -> DataFrame:
     """Top-k within the query's ``nprobe`` nearest IVF cells: driver picks
     the probe cells against the same centroid constants, the scan reads only
-    those cells (partition-pruned when the inverted file is materialized)."""
-    centroids = hyperplanes(n_cells, len(query_vec), seed)
+    those cells (partition-pruned when the inverted file is materialized).
+    ``centroids``: trained list (``train_ivf_centroids``); defaults to the
+    seeded random-projection quantizer."""
+    if centroids is None:
+        centroids = hyperplanes(n_cells, len(query_vec), seed)
     probes = _query_cells(query_vec, centroids, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     assigned = df.withColumn('cell', ivf_cell(F.col(vec_col), centroids))
