@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--chunk_size', default=10_000_000, type=int,
                         help='Max records per output file (maps to maxRecordsPerFile).')
     parser.add_argument('--gz_compression_level', default=9, type=int,
-                        help='Accepted for parity; Spark gzip codec level is JVM-default.')
+                        help='gzip level for RDF export (mapped to the Hadoop zlib '
+                             'CompressionLevel; honored when the native codec is loaded).')
     parser.add_argument('--key_separator')
     parser.add_argument('--add_dgraph_type_records', default=True, type=_bool)
     parser.add_argument('--drop_na_intrinsic_objects', default=True, type=_bool)
@@ -79,6 +80,8 @@ def main(argv=None) -> None:
         'console': args.console,
         'export_csv': args.export_csv,
         'chunk_size': args.chunk_size,
+        'encoding': args.encoding,
+        'gz_compression_level': args.gz_compression_level,
     }
     options = {k: v for k, v in options.items() if v is not None}
 
@@ -94,13 +97,11 @@ def main(argv=None) -> None:
 
         if SparkSession.getActiveSession() is None:
             get_spark(app_name='dgraphpandas-spark-cli', master=args.master)
-        intrinsic, edges = to_rdf(
+        # Writes happen inside to_rdf; line counts are logged there via
+        # Observation on the write action — no post-hoc .count() re-execution.
+        to_rdf(
             args.file, args.config, args.config_file_key, args.output_dir,
             export_rdf=True, **options,
-        )
-        # materialize the lazy plan (writes happened inside to_rdf)
-        logging.getLogger(__name__).info(
-            'intrinsic=%d edges=%d lines', intrinsic.count(), edges.count()
         )
     elif args.method == 'schema':
         from dgraphpandas_spark.writers.schema import create_schema, generate_schema

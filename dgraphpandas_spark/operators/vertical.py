@@ -155,6 +155,14 @@ def vertical_transform(
     except KeyError:
         raise KeyError(f'{config_file_key} must be within the files object in config')
 
+    if isinstance(frame, str):
+        # Path entry, parity: reference strategies/vertical.py:38-41 reads the
+        # CSV itself when handed a path (honoring read_csv_options).
+        from pyspark.sql import SparkSession
+
+        from ..plans.pipeline import _read_source
+        frame = _read_source(SparkSession.getActiveSession(), frame, file_config, **kwargs)
+
     subject_fields = get_from_config('subject_fields', file_config, **kwargs)
     edge_fields = get_from_config('edge_fields', file_config, [], **kwargs)
     dgraph_type = get_from_config('dgraph_type', file_config, config_file_key, **kwargs)

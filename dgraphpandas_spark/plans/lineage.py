@@ -25,7 +25,7 @@ import json
 import os
 from typing import Callable, Dict, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = 'conv_bucket'
@@ -74,6 +74,7 @@ def materialize_triples(
     stage: str = 'triples',
     waves: int = 1,
     fail_after_wave: Optional[int] = None,
+    verify: bool = True,
 ) -> Dict[int, dict]:
     """Write the triple frame partitioned by conv bucket, committing a
     lineage manifest row per bucket; resumes idempotently.
@@ -81,6 +82,14 @@ def materialize_triples(
     ``waves`` splits pending buckets into groups committed independently
     (checkpoint granularity); ``fail_after_wave`` is a test hook simulating
     a mid-run crash.  Returns the full manifest after this run.
+
+    ``verify=True`` re-reads every written bucket once to derive the
+    manifest's rows/checksum from the files as persisted (integrity over
+    speed).  At the 100-TB scale that read-back is a full extra pass over
+    the output; ``verify=False`` skips it and commits manifest rows with
+    ``verified: false`` and total (not per-bucket) row counts observed for
+    free on the write action — the commit-marker/resume contract is
+    unchanged.  Cost model: PLANS.md §6.
     """
     spark = triples.sparkSession
     done = set(committed_buckets(output_dir))
@@ -100,30 +109,35 @@ def materialize_triples(
         wave_t0 = _time.time()
         wave_buckets = pending[w:w + wave_size]
         subset = bucketed.filter(F.col(BUCKET_COL).isin(wave_buckets))
+        obs = Observation()
         (
             # hash-repartition on the bucket column BEFORE partitionBy:
             # without it every task writes a file into every bucket dir
             # (tasks × buckets small files — fatal at scale); with it each
             # bucket is written by exactly one task → one file per bucket,
             # and n_buckets (not task count) is the file-count knob
-            subset.repartition(F.col(BUCKET_COL))
+            subset.observe(obs, F.count(F.lit(1)).alias('rows'))
+            .repartition(F.col(BUCKET_COL))
             .write.mode('overwrite')
             .partitionBy(BUCKET_COL)
             .parquet(data_dir)
         )
-        # read-back verification: lineage metrics come from the files as
-        # written, not from the in-flight computation
-        written = spark.read.parquet(data_dir).filter(F.col(BUCKET_COL).isin(wave_buckets))
-        stats = (
-            written.groupBy(BUCKET_COL)
-            .agg(
-                F.count('*').alias('rows'),
-                # XOR fold: order-independent, overflow-free (ANSI-safe)
-                F.bit_xor(F.xxhash64('subject', 'predicate', 'object')).alias('checksum'),
+        stats_by_bucket = {}
+        if verify:
+            # read-back verification: lineage metrics come from the files as
+            # written, not from the in-flight computation
+            written = spark.read.parquet(data_dir).filter(F.col(BUCKET_COL).isin(wave_buckets))
+            stats = (
+                written.groupBy(BUCKET_COL)
+                .agg(
+                    F.count('*').alias('rows'),
+                    # XOR fold: order-independent, overflow-free (ANSI-safe)
+                    F.bit_xor(F.xxhash64('subject', 'predicate', 'object')).alias('checksum'),
+                )
+                .collect()
             )
-            .collect()
-        )
-        stats_by_bucket = {r[BUCKET_COL]: r for r in stats}
+            stats_by_bucket = {r[BUCKET_COL]: r for r in stats}
+        wave_rows = int(obs.get['rows'])  # observed on the write, free
         wave_ms = int((_time.time() - wave_t0) * 1000)
         rows = []
         for b in wave_buckets:  # empty buckets commit too (rows=0)
@@ -131,13 +145,16 @@ def materialize_triples(
             rows.append({
                 'stage': stage,
                 'bucket': b,
-                'rows': int(r['rows']) if r else 0,
-                'checksum': int(r['checksum']) if r and r['checksum'] is not None else 0,
+                'rows': int(r['rows']) if r else (None if not verify else 0),
+                'checksum': int(r['checksum']) if r and r['checksum'] is not None else (None if not verify else 0),
                 'status': 'committed',
+                'verified': bool(verify),
                 # metrics (north_rule: per-partition lineage + metrics):
-                # wall time of the wave that committed this bucket
+                # wall time of the wave that committed this bucket, and the
+                # wave's total row count observed on the write action
                 'wave': w // wave_size,
                 'wave_ms': wave_ms,
+                'wave_rows': wave_rows,
             })
         _commit_manifest(output_dir, rows)
         if fail_after_wave is not None and (w // wave_size) + 1 >= fail_after_wave:

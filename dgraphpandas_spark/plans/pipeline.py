@@ -15,10 +15,12 @@ user-controllable at any scale without a repartition shuffle.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Tuple, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import get_from_config, load_config
 from ..operators.horizontal import horizontal_transform
@@ -47,6 +49,63 @@ def _read_source(spark: SparkSession, path: str, file_config: Dict[str, Any], **
         .options(**read_csv_options)
         .csv(path)
     )
+
+
+def _is_utf8(encoding: str) -> bool:
+    return encoding.lower().replace('-', '').replace('_', '') == 'utf8'
+
+
+def _canonical_charset(encoding: str) -> str:
+    """Python codec alias ('latin-1') → the canonical charset name Spark's
+    CSVOptions whitelist expects ('iso-8859-1')."""
+    import codecs
+    name = codecs.lookup(encoding).name
+    return {
+        'iso8859-1': 'iso-8859-1',
+        'ascii': 'us-ascii',
+        'utf-16-be': 'utf-16be',
+        'utf-16-le': 'utf-16le',
+    }.get(name, name)
+
+
+def _set_gzip_level(spark: SparkSession, level: int) -> None:
+    """Honor ``gz_compression_level`` (reference rdf.py:100, gzip.open
+    compresslevel) through Hadoop's zlib conf.  Hadoop's CompressionLevel
+    enum only has NO_COMPRESSION/BEST_SPEED/BEST_COMPRESSION/DEFAULT, so the
+    int is mapped to the nearest; takes effect when the native zlib codec is
+    loaded (the pure-java GZIPOutputStream fallback ignores it — documented
+    in README)."""
+    if level <= 0:
+        name = 'NO_COMPRESSION' if level == 0 else 'DEFAULT_COMPRESSION'
+    elif level <= 4:
+        name = 'BEST_SPEED'
+    else:
+        name = 'BEST_COMPRESSION'
+    spark.conf.set('spark.hadoop.zlib.compress.level', name)
+
+
+def _write_rdf_lines(lines: DataFrame, path: str, chunk_size: int, encoding: str) -> None:
+    """S6 gzip RDF sink.  The text datasource writes UTF-8 only, so for any
+    other charset (reference rdf.py:135 encodes each line) we route through
+    the CSV writer — single column, quoting disabled, no header — which
+    supports an ``encoding`` option and emits byte-identical lines."""
+    writer = (
+        lines.write.mode('overwrite')
+        .option('compression', 'gzip')
+        .option('maxRecordsPerFile', chunk_size)
+    )
+    if _is_utf8(encoding):
+        writer.text(path)
+    else:
+        (
+            writer.option('encoding', _canonical_charset(encoding))
+            .option('header', False)
+            # single column + a separator that cannot occur in an RDF line:
+            # quoting never triggers, so lines round-trip byte-identical
+            .option('sep', '\x01')
+            .option('quote', '')
+            .csv(path)
+        )
 
 
 def to_rdf(
@@ -83,6 +142,8 @@ def to_rdf(
     export_csv = get_from_config('export_csv', file_config, False, **kwargs)
     export_rdf = get_from_config('export_rdf', file_config, False, **kwargs)
     chunk_size = get_from_config('chunk_size', config, 10_000_000, **kwargs)
+    encoding = get_from_config('encoding', file_config, 'utf-8', **kwargs)
+    gz_level = get_from_config('gz_compression_level', config, None, **kwargs)
 
     intrinsic, edges = transform(frame, config, config_key, **kwargs)
     if console:
@@ -96,21 +157,33 @@ def to_rdf(
         edges_base = os.path.join(output_dir, f'{source_name}_edges')
 
         if export_csv:
-            intrinsic.write.mode('overwrite').option('header', True).csv(intrinsic_base + '.csv')
-            edges.write.mode('overwrite').option('header', True).csv(edges_base + '.csv')
-
-        if export_rdf:
             (
-                intrinsic_lines.write.mode('overwrite')
-                .option('compression', 'gzip')
-                .option('maxRecordsPerFile', chunk_size)
-                .text(intrinsic_base + '.gz')
+                intrinsic.write.mode('overwrite').option('header', True)
+                .option('encoding', _canonical_charset(encoding)).csv(intrinsic_base + '.csv')
             )
             (
-                edges_lines.write.mode('overwrite')
-                .option('compression', 'gzip')
-                .option('maxRecordsPerFile', chunk_size)
-                .text(edges_base + '.gz')
+                edges.write.mode('overwrite').option('header', True)
+                .option('encoding', _canonical_charset(encoding)).csv(edges_base + '.csv')
+            )
+
+        if export_rdf:
+            if gz_level is not None:
+                _set_gzip_level(SparkSession.getActiveSession(), int(gz_level))
+            # Piggyback row counts on the write via Observation — the counts
+            # come free with the export action instead of re-executing the
+            # whole lazy transform with .count() afterwards.
+            obs_i, obs_e = Observation(), Observation()
+            _write_rdf_lines(
+                intrinsic_lines.observe(obs_i, F.count(F.lit(1)).alias('rows')),
+                intrinsic_base + '.gz', chunk_size, encoding,
+            )
+            _write_rdf_lines(
+                edges_lines.observe(obs_e, F.count(F.lit(1)).alias('rows')),
+                edges_base + '.gz', chunk_size, encoding,
+            )
+            logging.getLogger(__name__).info(
+                'exported intrinsic=%d edges=%d lines',
+                obs_i.get['rows'], obs_e.get['rows'],
             )
 
     return intrinsic_lines, edges_lines

@@ -22,12 +22,22 @@ conf; nothing in the engine changes.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def is_path(identifier: str) -> bool:
-    return '/' in identifier or identifier.endswith(('.parquet', '.pq', '.csv'))
+    """Paths have a '/', a known data extension, or exist on the local
+    filesystem; anything else is treated as a catalog table identifier.
+    The existence check keeps bare relative dirs ('outdir') from being sent
+    to ``spark.read.table`` and failing with a confusing table-not-found."""
+    return (
+        '/' in identifier
+        or identifier.endswith(('.parquet', '.pq', '.csv'))
+        or os.path.exists(identifier)
+    )
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -63,11 +73,17 @@ def write_bucketed(
     """
     spark = df.sparkSession
     if not is_path(identifier) and iceberg_available(spark):
-        (
-            df.writeTo(identifier)
-            .partitionedBy(F.bucket(n_buckets, F.col(bucket_key)))
-            .createOrReplace()
+        writer = df.writeTo(identifier).partitionedBy(
+            F.bucket(n_buckets, F.col(bucket_key))
         )
+        # DataFrameWriterV2 verbs, not a blanket createOrReplace: 'append'
+        # must never silently replace the table.
+        if mode == 'append':
+            writer.append()
+        elif mode == 'overwrite':
+            writer.createOrReplace()
+        else:
+            raise ValueError(f'unsupported mode for catalog table: {mode!r}')
         return
     bucketed = df.withColumn(
         'conv_bucket', F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets))

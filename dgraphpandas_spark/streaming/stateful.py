@@ -64,7 +64,9 @@ def _update_session(
     for pdf in pdfs:
         n_turns += len(pdf)
         n_tools += int(pdf['tool'].notna().sum())
-        ts = pd.to_datetime(pdf['ts']).astype('int64') // 1000  # micros
+        # Drop NaT before the int64 view: NaT.astype('int64') is INT64_MIN,
+        # which would permanently corrupt first_ts for the conversation.
+        ts = pd.to_datetime(pdf['ts']).dropna().astype('int64') // 1000  # micros
         if len(ts):
             lo, hi = int(ts.min()), int(ts.max())
             first_ts = lo if first_ts is None else min(first_ts, lo)

@@ -132,6 +132,25 @@ def create_schema(
         rows.append({'column': 'xid', 'type': 'string', 'table': None, 'options': '@index(exact)'})
 
     rows.sort(key=lambda r: (r['table'] is None, r['table'] or '', r['type']))
+
+    # Reference schema.py:148-155: console prints the schema frame;
+    # export_csv writes the pre-schema rows.  Metadata-scale, driver-side.
+    if get_from_config('console', config, False, **kwargs):
+        for r in rows:
+            print(r)
+    export_csv = get_from_config('export_csv', config, False, **kwargs)
+    if export_csv:
+        export_csv_name = kwargs.get('export_csv_name', 'schema.csv')
+        path = os.path.join(output_dir, export_csv_name)
+        encoding = kwargs.get('encoding', 'utf-8')
+        with open(path, 'w', encoding=encoding) as f:
+            f.write('column,type,table,options\n')
+            for r in rows:
+                f.write('{},{},{},{}\n'.format(
+                    r['column'], r['type'],
+                    '' if r['table'] is None else r['table'],
+                    '' if r['options'] is None else r['options'],
+                ))
     return rows
 
 
@@ -145,6 +164,7 @@ def generate_schema(rows: List[Dict[str, Any]], **kwargs) -> str:
     output_dir = kwargs.get('output_dir', '.')
     export_schema = kwargs.get('export_schema', False)
     export_file = kwargs.get('export_file', 'schema.txt')
+    encoding = kwargs.get('encoding', 'utf-8')
 
     seen = set()
     lines: List[str] = []
@@ -161,7 +181,7 @@ def generate_schema(rows: List[Dict[str, Any]], **kwargs) -> str:
 
     if export_schema:
         path = os.path.join(output_dir, export_file)
-        with open(path, 'w') as f:
+        with open(path, 'w', encoding=encoding) as f:
             f.write(joined)
     return joined
 
