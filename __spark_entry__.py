@@ -28,6 +28,7 @@ from dgraphpandas_spark.functions.similarity import hyperplanes, plane_sql_liter
 from dgraphpandas_spark.operators import dedup as DD  # noqa: E402
 from dgraphpandas_spark.operators import simsearch as SS  # noqa: E402
 from dgraphpandas_spark.operators.canonicalize import conversation_edges  # noqa: E402
+from dgraphpandas_spark.plans.pipeline import to_rdf  # noqa: E402
 from dgraphpandas_spark.writers.schema import create_schema, generate_schema, generate_types  # noqa: E402
 from dgraphpandas_spark.writers.upserts import generate_upserts  # noqa: E402
 
@@ -220,6 +221,69 @@ def q_kg_types_lines(spark, sf_dir):
     return spark.createDataFrame([(b,) for b in blocks], 'block string')
 
 
+def q_kg_rdf_gzip_roundtrip(spark, sf_dir):
+    """S6 — gzip RDF sink round-trip: export via to_rdf, read the .gz part
+    files back, and oracle-compare the line set (reference rdf.py:128-143)."""
+    import tempfile
+    out = tempfile.mkdtemp(prefix='rdf_roundtrip_')
+    to_rdf(
+        _t(spark, sf_dir, 'customer'), CUSTOMER_CONFIG, 'customer',
+        output_dir=out, export_rdf=True,
+    )
+    return (
+        spark.read.text(f'{out}/customer_intrinsic.gz')
+        .unionByName(spark.read.text(f'{out}/customer_edges.gz'))
+        .withColumnRenamed('value', 'line')
+    )
+
+
+CALLABLE_VERTICAL_CONFIG = {
+    'transform': 'vertical',
+    'files': {
+        'supplier': {
+            # C11 — callables resolved against the frame at plan time
+            # (reference vertical_helpers.py:266-281)
+            'subject_fields': lambda f: ['s_suppkey'],
+            'edge_fields': lambda f: ['s_nationkey'] if 'attr' in f.columns else [],
+            'predicate_field': 'attr',
+            'object_field': 'val',
+        }
+    },
+}
+
+
+def q_kg_callable_config(spark, sf_dir):
+    """C11 — same output as kg_supplier_vertical, but every config field the
+    reference allows as a callable is supplied as one."""
+    sup = _t(spark, sf_dir, 'supplier')
+    long_df = sup.selectExpr(
+        's_suppkey',
+        "stack(2, 's_name', s_name, 's_nationkey', cast(s_nationkey as string)) as (attr, val)",
+    )
+    intrinsic, edges = vertical_transform(long_df, CALLABLE_VERTICAL_CONFIG, 'supplier')
+    return intrinsic.unionByName(edges)
+
+
+EVENTS_IDCONV_CONFIG = {
+    'files': {
+        'event': {
+            'subject_fields': ['event_id'],
+            # C12 — no edge_fields: every *_id predicate becomes an edge
+            # (reference vertical_helpers.py:299-305)
+            'edge_id_convention': True,
+            'ignore_fields': ['props', 'value', 'ts'],
+        }
+    }
+}
+
+
+def q_kg_edge_id_convention(spark, sf_dir):
+    intrinsic, edges = horizontal_transform(
+        _t(spark, sf_dir, 'events'), EVENTS_IDCONV_CONFIG, 'event'
+    )
+    return intrinsic.unionByName(edges)
+
+
 # ---------------------------------------------------- training-data queries
 
 
@@ -359,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_conversation_edges': q_kg_conversation_edges,
         'kg_schema_lines': q_kg_schema_lines,
         'kg_types_lines': q_kg_types_lines,
+        'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
+        'kg_callable_config': q_kg_callable_config,
+        'kg_edge_id_convention': q_kg_edge_id_convention,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -697,6 +764,22 @@ FROM events
         "(e'" + b.replace('\\', '\\\\').replace("'", "\\'").replace('\n', '\\n') + "')"
         for b in type_blocks
     ) + ') AS t(block)'
+
+    # S6 round-trip: the gzip export must contain exactly the upsert lines
+    sql['kg_rdf_gzip_roundtrip'] = sql['kg_upserts_customer']
+
+    # C11: callables resolve to the same plan as the literal config
+    sql['kg_callable_config'] = sql['kg_supplier_vertical']
+
+    sql['kg_edge_id_convention'] = f"""
+WITH base AS (SELECT * FROM events)
+SELECT 'event_' || event_id AS subject, 'event_type' AS predicate,
+       {scrub.format(col='event_type')} AS object, '<xs:string>' AS type FROM base
+UNION ALL
+SELECT DISTINCT 'event_' || event_id, 'dgraph.type', 'event', '<xs:string>' FROM base
+UNION ALL
+SELECT 'event_' || event_id, 'user', 'user_' || user_id, CAST(NULL AS VARCHAR) FROM base
+"""
 
     norm = _NORM.format(col='text')
     sql['dedup_exact'] = f"""
