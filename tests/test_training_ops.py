@@ -325,3 +325,123 @@ def test_lsh_topk_multi_probe_superset(spark, emb):
         emb, qvec, k=10, n_planes=4, multi_probe=True
     ).collect()}
     assert len(multi & truth) >= len(single & truth)
+
+
+def test_multimodal_real_codecs_roundtrip():
+    """WAV and PPM built-in decoders are REAL: encode → decode recovers the
+    exact signal/pixels (no Spark needed — pure codec check)."""
+    import numpy as np
+
+    from dgraphpandas_spark.operators.multimodal import (
+        decode_pgm,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    t = np.arange(1600, dtype=np.float32) / 16_000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    d = decode_wav(encode_wav(sig, framerate=16_000))
+    assert d['kind'] == 'audio' and d['framerate'] == 16_000
+    assert d['duration_ms'] == 100
+    assert np.abs(d['samples'] - sig).max() < 1e-3  # 16-bit quantization
+
+    pixels = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    d = decode_ppm(encode_ppm(pixels))
+    assert d['width'] == 6 and d['height'] == 4
+    assert (d['pixels'] == pixels).all()
+
+    # header tolerance: comments + multi-whitespace
+    gray = bytes(range(12))
+    payload = b'P5 # comment\n# another\n 4\t3 255\n' + gray
+    d = decode_pgm(payload)
+    assert d['width'] == 4 and d['height'] == 3
+    assert d['pixels'].ravel().tolist() == list(gray)
+
+
+def test_multimodal_real_decode_features(spark):
+    """fake=False WORKS for registered mimes (WAV/PPM): features are RMS of
+    the decoded signal, not byte statistics."""
+    import numpy as np
+
+    from dgraphpandas_spark.operators.multimodal import (
+        extract_features,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n_rows=20)
+    rows = {r['media_id']: r for r in extract_features(media, dim=4, fake=False).collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert len(r['features']) == 4
+        if r['kind'] == 'audio':
+            # 0.5-amplitude sine → RMS ≈ 0.5/sqrt(2) ≈ 0.354 per chunk
+            assert all(abs(f - 0.3536) < 0.05 for f in r['features'])
+        else:
+            assert all(0.0 <= f <= 1.0 for f in r['features'])
+    # determinism
+    again = {r['media_id']: r for r in extract_features(media, dim=4, fake=False).collect()}
+    assert all(rows[m]['features'] == again[m]['features'] for m in rows)
+
+
+def test_multimodal_real_resize(spark):
+    """PPM rows resize for REAL: payload re-encodes at the new geometry and
+    re-decodes to the nearest-neighbor downsample of the original."""
+    import numpy as np
+
+    from dgraphpandas_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n_rows=20)
+    orig = {r['media_id']: r for r in media.collect() if r['kind'] == 'image'}
+    rows = {
+        r['media_id']: r
+        for r in resize_images(media, max_side=8, fake=False).collect()
+        if r['kind'] == 'image'
+    }
+    assert rows
+    for mid, r in rows.items():
+        d = decode_ppm(bytes(r['payload']))
+        assert max(d['width'], d['height']) <= 8
+        assert d['width'] == r['meta']['width'] and d['height'] == r['meta']['height']
+        o = decode_ppm(bytes(orig[mid]['payload']))
+        # corners survive nearest-neighbor resize
+        assert (d['pixels'][0, 0] == o['pixels'][0, 0]).all()
+
+
+def test_register_decoder_seam(spark):
+    """The registry is the pluggable seam: registering a decoder makes a
+    previously-stubbed mime decode for real."""
+    from dgraphpandas_spark.operators.multimodal import (
+        DECODERS,
+        extract_features,
+        register_decoder,
+        synthetic_media,
+    )
+
+    def fake_jpeg(payload):
+        import numpy as np
+        return {'kind': 'image',
+                'pixels': np.full((2, 2, 3), 255, dtype=np.uint8),
+                'width': 2, 'height': 2}
+
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(spark, n_rows=3).withColumn(
+        'meta',
+        F.struct(
+            F.lit('image/jpeg').alias('mime'),
+            'meta.width', 'meta.height', 'meta.duration_ms',
+        ),
+    )
+    register_decoder('image/jpeg', fake_jpeg)
+    try:
+        rows = extract_features(media, dim=2, fake=False).collect()
+        # all-255 pixels → normalized signal of 1.0 → RMS exactly 1.0
+        assert all(abs(f - 1.0) < 1e-6 for r in rows for f in r['features'])
+    finally:
+        DECODERS.pop('image/jpeg', None)
