@@ -237,6 +237,12 @@ def main():
     entry.q_ann_cosine_topk(spark, sf_dir).collect()
     queries['ann_cosine_topk'] = round(time.time() - t, 3)
 
+    t = time.time()
+    entry.q_dedup_clusters(spark, sf_dir).agg(
+        F.count('*').alias('n'), F.bit_xor(F.xxhash64('id', 'cluster_id', 'keep')).alias('ck')
+    ).collect()
+    queries['dedup_clusters'] = round(time.time() - t, 3)
+
     total = round(time.time() - t0, 3)
     print(json.dumps({
         'metric': 'e2e_sec',

@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--gz_compression_level', default=9, type=int,
                         help='gzip level for RDF export (mapped to the Hadoop zlib '
                              'CompressionLevel; honored when the native codec is loaded).')
+    parser.add_argument('--reference_layout', action='store_true', default=False,
+                        help='Rename RDF output part-files into the reference\'s '
+                             'chunk-indexed single-file names (<src>_intrinsic.gz, _2.gz, ...).')
     parser.add_argument('--key_separator')
     parser.add_argument('--add_dgraph_type_records', default=True, type=_bool)
     parser.add_argument('--drop_na_intrinsic_objects', default=True, type=_bool)
@@ -82,6 +85,7 @@ def main(argv=None) -> None:
         'chunk_size': args.chunk_size,
         'encoding': args.encoding,
         'gz_compression_level': args.gz_compression_level,
+        'reference_layout': args.reference_layout,
     }
     options = {k: v for k, v in options.items() if v is not None}
 

@@ -108,6 +108,44 @@ def _write_rdf_lines(lines: DataFrame, path: str, chunk_size: int, encoding: str
         )
 
 
+def apply_reference_layout(output_dir: str, source_name: str) -> Dict[str, list]:
+    """Rename Spark's ``<src>_intrinsic.gz/part-*.gz`` directory layout into
+    the reference's chunk-indexed single files: first part becomes
+    ``<src>_intrinsic.gz``, later parts ``<src>_intrinsic_2.gz``,
+    ``_3.gz``, … (reference rdf.py:111-116), so downstream globs written
+    for the reference keep working.
+
+    Driver-side metadata-only renames (os.replace) — O(files), not O(data);
+    on object stores without cheap rename, keep the directory layout and
+    glob ``<dir>/part-*`` instead (README export notes).  Returns the final
+    file list per frame.
+    """
+    import glob as _glob
+
+    out: Dict[str, list] = {}
+    for frame_kind in ('intrinsic', 'edges'):
+        base = os.path.join(output_dir, f'{source_name}_{frame_kind}')
+        spark_dir = base + '.gz'
+        if not os.path.isdir(spark_dir):
+            continue
+        staging = base + '.gz.spark'
+        os.replace(spark_dir, staging)  # free the target name
+        parts = sorted(_glob.glob(os.path.join(staging, 'part-*.gz')))
+        finals = []
+        for i, part in enumerate(parts):
+            target = base + ('.gz' if i == 0 else f'_{i + 1}.gz')
+            os.replace(part, target)
+            finals.append(target)
+        for leftover in _glob.glob(os.path.join(staging, '*')) + _glob.glob(
+            os.path.join(staging, '.*')
+        ):
+            if os.path.isfile(leftover):
+                os.remove(leftover)  # _SUCCESS / CRC markers
+        os.rmdir(staging)
+        out[frame_kind] = finals
+    return out
+
+
 def to_rdf(
     frame: Union[str, DataFrame],
     config: Union[Dict[str, Any], str],
@@ -185,5 +223,7 @@ def to_rdf(
                 'exported intrinsic=%d edges=%d lines',
                 obs_i.get['rows'], obs_e.get['rows'],
             )
+            if get_from_config('reference_layout', config, False, **kwargs):
+                apply_reference_layout(output_dir, source_name)
 
     return intrinsic_lines, edges_lines

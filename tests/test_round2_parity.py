@@ -200,3 +200,33 @@ def test_create_schema_console_and_csv(tmp_path, capsys):
     assert body.startswith('column,type,table,options\n')
     assert 'age,int' in body
     assert len(body.strip().splitlines()) == len(rows) + 1
+
+
+def test_reference_layout_renames(spark, tmp_path):
+    """reference_layout=True converts Spark's part-file directory into the
+    reference's chunk-indexed single files (reference rdf.py:111-116)."""
+    df = spark.createDataFrame(
+        [(i, f'name{i}') for i in range(30)], ['customer_id', 'name']
+    ).repartition(3)
+    config = {'files': {'customer': {'subject_fields': ['customer_id']}}}
+    out = str(tmp_path / 'ref_layout')
+    to_rdf(df, config, 'customer', output_dir=out,
+           export_rdf=True, reference_layout=True)
+
+    first = os.path.join(out, 'customer_intrinsic.gz')
+    assert os.path.isfile(first), 'first chunk must be a FILE, not a dir'
+    chunks = sorted(glob.glob(os.path.join(out, 'customer_intrinsic*.gz')))
+    # ≥3 input partitions → first chunk plus contiguous _2.._k siblings
+    assert len(chunks) >= 3
+    expected = {first} | {
+        os.path.join(out, f'customer_intrinsic_{i}.gz')
+        for i in range(2, len(chunks) + 1)
+    }
+    assert set(chunks) == expected
+    assert not os.path.exists(first + '.spark'), 'staging dir cleaned up'
+    lines = []
+    for c in chunks:
+        with gzip.open(c, 'rt') as f:
+            lines.extend(f.read().splitlines())
+    # 30 rows × (name + dgraph.type) intrinsic triples
+    assert len(lines) == 60
