@@ -284,6 +284,40 @@ def q_kg_edge_id_convention(spark, sf_dir):
     return intrinsic.unionByName(edges)
 
 
+def q_stream_event_windows(spark, sf_dir):
+    """Structured Streaming with a REAL oracle: watermarked windowed counts
+    over the events table as a file stream, drained with
+    ``Trigger.AvailableNow`` into a memory sink.  Append mode emits exactly
+    the windows closed by the final watermark (max ts − lateness) — a
+    deterministic set the DuckDB oracle reproduces with a batch GROUP BY
+    plus the same closed-window cutoff."""
+    import os
+    import shutil
+    import tempfile
+
+    from dgraphpandas_spark.streaming.windows import windowed_counts
+
+    tmp = tempfile.mkdtemp(prefix='stream_ev_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    shutil.copy(f'{sf_dir}/events.parquet', os.path.join(indir, 'events.parquet'))
+    schema = ('event_id bigint, ts timestamp, user_id bigint, '
+              'event_type string, value double, props string')
+    stream = spark.readStream.schema(schema).parquet(indir)
+    out = windowed_counts(stream, 'ts', 'event_type', '1 day', '1 hour')
+    name = 'stream_ev_' + os.path.basename(tmp).replace('stream_ev_', '')
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode('append')
+        .format('memory')
+        .queryName(name)
+        .option('checkpointLocation', os.path.join(tmp, 'ck'))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------- training-data queries
 
 
@@ -426,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
         'kg_callable_config': q_kg_callable_config,
         'kg_edge_id_convention': q_kg_edge_id_convention,
+        'stream_event_windows': q_stream_event_windows,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -779,6 +814,17 @@ UNION ALL
 SELECT DISTINCT 'event_' || event_id, 'dgraph.type', 'event', '<xs:string>' FROM base
 UNION ALL
 SELECT 'event_' || event_id, 'user', 'user_' || user_id, CAST(NULL AS VARCHAR) FROM base
+"""
+
+    # Streaming append-mode + AvailableNow: emitted set = batch GROUP BY
+    # over windows closed by the final watermark (max ts − 1 hour)
+    sql['stream_event_windows'] = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (SELECT date_trunc('day', ts)::TIMESTAMP AS ws, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2)
+SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end, event_type, n_events
+FROM w, mx
+WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
 """
 
     norm = _NORM.format(col='text')

@@ -96,3 +96,44 @@ def test_dedup_replayed_turns(spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() == 3, 'replayed duplicates must collapse to one row each'
     assert rows.select('conv_id', 'turn_idx').distinct().count() == 3
+
+
+def test_windowed_counts_availablenow_matches_batch(spark, tmp_path):
+    """Append-mode windowed_counts drained with AvailableNow emits exactly
+    the windows closed by the final watermark — the deterministic contract
+    the stream_event_windows oracle relies on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dgraphpandas_spark.streaming.windows import windowed_counts
+
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    shutil.copy('/root/testdata/sf0.001/events.parquet', str(indir / 'events.parquet'))
+    schema = ('event_id bigint, ts timestamp, user_id bigint, '
+              'event_type string, value double, props string')
+    stream = spark.readStream.schema(schema).parquet(str(indir))
+    out = windowed_counts(stream, 'ts', 'event_type', '1 day', '1 hour')
+    q = (
+        out.writeStream.trigger(availableNow=True).outputMode('append')
+        .format('memory').queryName('wc_test')
+        .option('checkpointLocation', str(tmp_path / 'ck')).start()
+    )
+    q.awaitTermination()
+    got = {tuple(map(str, r)) for r in spark.table('wc_test').collect()}
+
+    batch = spark.read.parquet(str(indir))
+    cutoff = batch.agg(F.max('ts')).first()[0]
+    expected = {
+        tuple(map(str, r))
+        for r in (
+            batch.groupBy(F.window('ts', '1 day').alias('w'), 'event_type')
+            .agg(F.count('*').alias('n_events'))
+            .select(F.col('w.start').alias('window_start'),
+                    F.col('w.end').alias('window_end'), 'event_type', 'n_events')
+            .filter(F.col('window_end') <= F.lit(cutoff) - F.expr('INTERVAL 1 HOUR'))
+            .collect()
+        )
+    }
+    assert got == expected and len(got) > 0
