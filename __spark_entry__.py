@@ -318,6 +318,50 @@ def q_stream_event_windows(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (``applyInPandasWithState``) with
+    a REAL oracle: events mapped to transcript-shaped turns, streamed as ONE
+    AvailableNow micro-batch (single input file → single batch), so each
+    conversation emits exactly one final session row — a deterministic set
+    equal to a batch GROUP BY, which the DuckDB oracle reproduces."""
+    import os
+    import shutil
+    import tempfile
+
+    from dgraphpandas_spark.streaming.stateful import conversation_sessions
+
+    tmp = tempfile.mkdtemp(prefix='stream_state_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    shutil.copy(f'{sf_dir}/events.parquet', os.path.join(indir, 'events.parquet'))
+    schema = ('event_id bigint, ts timestamp, user_id bigint, '
+              'event_type string, value double, props string')
+    stream = (
+        spark.readStream.schema(schema).parquet(indir)
+        .select(
+            F.concat(F.lit('u'), F.col('user_id')).alias('conv_id'),
+            F.col('event_id').cast('int').alias('turn_idx'),
+            F.col('event_type').alias('role'),
+            F.col('props').alias('text'),
+            # deterministic tool mapping: non-click events "invoke a tool"
+            F.when(F.col('event_type') != 'click', F.col('event_type')).alias('tool'),
+            'ts',
+        )
+    )
+    out = conversation_sessions(stream)
+    name = 'stream_state_' + os.path.basename(tmp).replace('stream_state_', '')
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode('update')
+        .format('memory')
+        .queryName(name)
+        .option('checkpointLocation', os.path.join(tmp, 'ck'))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------- training-data queries
 
 
@@ -461,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_callable_config': q_kg_callable_config,
         'kg_edge_id_convention': q_kg_edge_id_convention,
         'stream_event_windows': q_stream_event_windows,
+        'stream_stateful_sessions': q_stream_stateful_sessions,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -825,6 +870,17 @@ w AS (SELECT date_trunc('day', ts)::TIMESTAMP AS ws, event_type, count(*) AS n_e
 SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end, event_type, n_events
 FROM w, mx
 WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+"""
+
+    # Stateful sessions, single AvailableNow batch: one final row per conv
+    sql['stream_stateful_sessions'] = """
+SELECT 'u' || user_id AS conv_id,
+       count(*) AS n_turns,
+       count(CASE WHEN event_type != 'click' THEN 1 END) AS n_tool_calls,
+       epoch_us(min(ts)) AS first_ts,
+       epoch_us(max(ts)) AS last_ts,
+       max(event_id)::int AS max_turn_idx
+FROM events GROUP BY 1
 """
 
     norm = _NORM.format(col='text')
