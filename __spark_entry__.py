@@ -465,6 +465,16 @@ def q_emb_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_emb_neardup_lsh_multiprobe(spark, sf_dir):
+    """Hamming-1 multi-probe variant: one join side explodes to its P+1
+    bit-flip neighbor buckets (still an equi-join), catching pairs split by
+    exactly one hyperplane; oracle mirrors the probe expansion with xor."""
+    return DD.embedding_neardup_pairs_lsh(
+        _t(spark, sf_dir, 'embeddings'), threshold=0.4, n_planes=8, dim=64,
+        seed=42, multi_probe=True,
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Opaque-binary plumbing: documents.text as a binary payload column,
     typed metadata extracted JVM-side (md5 digest, byte length)."""
@@ -518,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_topk': q_ann_ivf_topk,
         'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
         'emb_neardup_lsh': q_emb_neardup_lsh,
+        'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
         'emb_neardup_pairs': q_emb_neardup_pairs,
         'multimodal_meta': q_multimodal_meta,
     }
@@ -986,6 +997,19 @@ okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000)
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos
 FROM e a JOIN e b USING (bucket) JOIN okb USING (bucket)
 WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
+"""
+
+    # multi-probe: b-side explodes to its Hamming-1 neighbor buckets
+    sql['emb_neardup_lsh_multiprobe'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+                  {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
+           FROM embeddings),
+okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000),
+g AS (SELECT e.* FROM e JOIN okb USING (bucket)),
+p AS (SELECT vec_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS bucket FROM g)
+SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b, round({_cosine_sql('a.v', 'p.v')}, 6) AS cos
+FROM g a JOIN p ON a.bucket = p.bucket
+WHERE a.vec_id < p.vec_id AND round({_cosine_sql('a.v', 'p.v')}, 6) >= 0.4
 """
 
     sql['multimodal_meta'] = """
