@@ -415,6 +415,34 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: distinct window-minima of
+    k-gram hashes per document, exploded to (doc_id, fp) rows.  One fused
+    projection + explode — no shuffle."""
+    d = _t(spark, sf_dir, 'documents')
+    return d.select(
+        'doc_id',
+        F.explode(TX.winnow_fingerprints(F.col('text'), k=3, w=4)).alias('fp'),
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON column extraction (semi-structured source handling):
+    get_json_object pushdown-friendly scalar extraction, grouped stats."""
+    ev = _t(spark, sf_dir, 'events')
+    k = F.get_json_object(F.col('props'), '$.k').cast('int')
+    return (
+        ev.select('event_type', k.alias('k'))
+        .groupBy('event_type')
+        .agg(
+            F.count('*').alias('n'),
+            F.sum('k').alias('sum_k'),
+            F.min('k').alias('min_k'),
+            F.max('k').alias('max_k'),
+        )
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, 'embeddings')
     qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
@@ -522,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_clusters': q_dedup_clusters,
         'dedup_simhash': q_dedup_simhash,
         'text_stats': q_text_stats,
+        'text_winnow_fingerprints': q_text_winnow_fingerprints,
+        'events_json_props': q_events_json_props,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_histogram': q_ann_lsh_histogram,
         'ann_ivf_histogram': q_ann_ivf_histogram,
@@ -937,6 +967,31 @@ SELECT doc_id,
   {_lang_sql()} AS lang_pred,
   md5({norm}) AS fp
 FROM documents
+"""
+
+    # winnowing: same k-gram construction as _shingles_cte, hashes as
+    # 60-bit md5 bigints, window minima, distinct, unnest
+    toks_w = _TOKS.format(col='text')
+    sql['text_winnow_fingerprints'] = f"""
+WITH t AS (SELECT doc_id, {toks_w} AS t FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN []
+      ELSE list_transform(range(1, len(t) - 1),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')) END AS grams FROM t),
+h AS (SELECT doc_id, list_transform(grams,
+           g -> ('0x' || substr(md5(g), 1, 15))::bigint) AS hs FROM g),
+w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+      WHEN len(hs) < 4 THEN [list_min(hs)]
+      ELSE list_transform(range(1, len(hs) - 2),
+           i -> list_min(list_slice(hs, i, i + 3))) END AS wins FROM h)
+SELECT doc_id, u.fp FROM w, unnest(list_distinct(wins)) AS u(fp)
+"""
+
+    sql['events_json_props'] = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract_string(props, '$.k')::int) AS sum_k,
+       min(json_extract_string(props, '$.k')::int) AS min_k,
+       max(json_extract_string(props, '$.k')::int) AS max_k
+FROM events GROUP BY 1
 """
 
     cos = _cosine_sql('e.v', 'q.v')

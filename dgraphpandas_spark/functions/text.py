@@ -94,3 +94,41 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normal form (rolling-hash class;
     md5 chosen because Spark and DuckDB produce identical hex)."""
     return F.md5(normalized(text).cast('binary'))
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme): hash every k-token gram, slide a window of ``w`` consecutive
+    gram hashes, keep each window's minimum, return the distinct selected
+    hashes — a position-robust fingerprint set whose overlap estimates
+    local similarity (guaranteed to catch matches ≥ w+k−1 tokens long).
+
+    Pure expressions (sequence/transform/slice/array_min — one fused
+    projection, no shuffle, no Python).  Gram hashes are the first 60 bits
+    of md5 as LONG — computed directly rather than incrementally (the
+    classic 'rolling' optimization is per-row CPU, irrelevant under
+    whole-stage codegen), and replayable verbatim in DuckDB oracles.
+    Docs shorter than k tokens fingerprint to an empty set; shorter than
+    k+w−1 grams use the global minimum (one window).
+    """
+    toks = tokens(text)
+    grams = F.when(F.size(toks) < k, F.array().cast('array<string>')).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), ' '),
+        )
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast('long')
+    )
+    wins = (
+        F.when(F.size(hashes) == 0, F.array().cast('array<long>'))
+        .when(F.size(hashes) < w, F.array(F.array_min(hashes)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            )
+        )
+    )
+    return F.array_distinct(wins)

@@ -445,3 +445,34 @@ def test_register_decoder_seam(spark):
         assert all(abs(f - 1.0) < 1e-6 for r in rows for f in r['features'])
     finally:
         DECODERS.pop('image/jpeg', None)
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantees: shared runs ≥ w+k−1 tokens produce shared
+    fingerprints; short docs fingerprint to empty/global-min; deterministic."""
+    from pyspark.sql import functions as F
+
+    from dgraphpandas_spark.functions.text import winnow_fingerprints
+
+    shared = 'alpha beta gamma delta epsilon zeta eta theta'
+    rows = [
+        (1, shared + ' one two'),
+        (2, 'prefix words here ' + shared),
+        (3, 'ab'),            # < k tokens → empty set
+        (4, 'a b c'),          # exactly k tokens, < w grams → global min
+        (5, ''),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id int, text string')
+    out = df.select(
+        'doc_id', winnow_fingerprints(F.col('text'), k=3, w=4).alias('fps')
+    ).collect()
+    fps = {r['doc_id']: set(r['fps']) for r in out}
+    # guarantee: the 8-token shared run (6 grams ≥ w) yields window minima
+    # common to both docs
+    assert fps[1] & fps[2], 'shared run must produce overlapping fingerprints'
+    assert fps[3] == set() and fps[5] == set()
+    assert len(fps[4]) == 1
+    again = df.select(
+        'doc_id', winnow_fingerprints(F.col('text'), k=3, w=4).alias('fps')
+    ).collect()
+    assert {r['doc_id']: set(r['fps']) for r in again} == fps
