@@ -288,12 +288,21 @@ def vertical_transform(
     frame = _expand_csv_edges(frame, csv_edges, csv_edges_seperator)
     string_sources |= set(csv_edges)
 
-    # C4 — subject key concat, then drop key columns
-    frame = frame.select(
-        subject_expr(key, key_seperator, dgraph_type, dtypes).alias('subject'),
-        'predicate',
-        'object',
-    )
+    # C4 — subject key concat, then drop key columns.  The horizontal entry
+    # precomputes (and pre-scrubs) the subject on the wide frame so the melt
+    # replicates a finished string (see horizontal.py); the vertical entry
+    # builds it here per long row.
+    precomputed_subject = bool(kwargs.get('_precomputed_subject', False))
+    if precomputed_subject:
+        frame = frame.select(
+            F.col('__subject').alias('subject'), 'predicate', 'object'
+        )
+    else:
+        frame = frame.select(
+            subject_expr(key, key_seperator, dgraph_type, dtypes).alias('subject'),
+            'predicate',
+            'object',
+        )
 
     # R3 — dgraph.type records (vertical_helpers.py:70-84)
     if add_dgraph_type_records:
@@ -306,10 +315,13 @@ def vertical_transform(
         if csv_edges or ignore_fields:
             wide_keys = None
         if wide_keys is not None:
-            key_dtypes = {f.name: f.dataType for f in wide_keys.schema.fields}
-            subjects = wide_keys.select(
-                subject_expr(key, key_seperator, dgraph_type, key_dtypes).alias('subject')
-            )
+            if precomputed_subject:
+                subjects = wide_keys.select(F.col('__subject').alias('subject'))
+            else:
+                key_dtypes = {f.name: f.dataType for f in wide_keys.schema.fields}
+                subjects = wide_keys.select(
+                    subject_expr(key, key_seperator, dgraph_type, key_dtypes).alias('subject')
+                )
         else:
             subjects = frame.select('subject')
         if not assume_unique_subjects:
@@ -389,7 +401,8 @@ def vertical_transform(
             ).otherwise(F.col(field)),
         )
 
-    intrinsic = _gated_scrub(intrinsic, 'subject', illegal_characters)
+    if not precomputed_subject:  # else scrubbed once on the wide frame
+        intrinsic = _gated_scrub(intrinsic, 'subject', illegal_characters)
     intrinsic = _gated_scrub(intrinsic, 'object', illegal_characters_intrinsic_object)
 
     # P2 — NA drops
@@ -401,7 +414,8 @@ def vertical_transform(
     if edges is None:
         return intrinsic, _empty_triples(frame)
 
-    edges = _gated_scrub(edges, 'subject', illegal_characters)
+    if not precomputed_subject:  # else scrubbed once on the wide frame
+        edges = _gated_scrub(edges, 'subject', illegal_characters)
     edges = _gated_scrub(edges, 'object', illegal_characters, stripped_names=bool(strip_id_from_edge_names))
     if drop_na_edge_objects:
         edges = edges.filter(F.col('object').isNotNull())
