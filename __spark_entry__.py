@@ -104,6 +104,18 @@ NATION_CONFIG = {
     }
 }
 
+LINEITEM_CONFIG = {
+    'files': {
+        'lineitem': {
+            'subject_fields': ['l_orderkey', 'l_linenumber'],
+            'edge_fields': ['l_partkey', 'l_suppkey'],
+            'ignore_fields': ['l_extendedprice', 'l_discount', 'l_tax'],
+            'type_overrides': {'l_quantity': 'float64', 'l_shipdate': 'datetime64[ns]'},
+            'date_fields': {'l_shipdate': {}},
+        }
+    }
+}
+
 SUPPLIER_VERTICAL_CONFIG = {
     'transform': 'vertical',
     'files': {
@@ -178,6 +190,16 @@ def q_kg_part_csv_edges(spark, sf_dir):
     )
     _, edges = horizontal_transform(part, PART_CSV_CONFIG, 'part')
     return edges
+
+
+def q_kg_lineitem(spark, sf_dir):
+    """Largest table: composite subject, two edge families, float +
+    datetime renders, ignore_fields — the full refine chain at the biggest
+    row count in the corpus."""
+    intrinsic, edges = horizontal_transform(
+        _t(spark, sf_dir, 'lineitem'), LINEITEM_CONFIG, 'lineitem'
+    )
+    return intrinsic.unionByName(edges)
 
 
 def q_kg_nation_pre_rename(spark, sf_dir):
@@ -533,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_orders_composite': q_kg_orders_composite,
         'kg_orders_override_edge': q_kg_orders_override_edge,
         'kg_part_csv_edges': q_kg_part_csv_edges,
+        'kg_lineitem': q_kg_lineitem,
         'kg_nation_pre_rename': q_kg_nation_pre_rename,
         'kg_supplier_vertical': q_kg_supplier_vertical,
         'kg_upserts_customer': q_kg_upserts_customer,
@@ -831,6 +854,32 @@ SELECT 'part_' || p_partkey AS subject, 'names' AS predicate,
        'names_' || regexp_replace(tok, '%|\\.|\\s|"|\\n|\\r\\n', '', 'g') AS object,
        CAST(NULL AS VARCHAR) AS type
 FROM exploded
+"""
+
+    iso_sd = _ISO.format(col='l_shipdate')
+    sql['kg_lineitem'] = f"""
+WITH base AS (SELECT * FROM lineitem)
+SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber AS subject,
+       'l_quantity' AS predicate, CAST(l_quantity AS VARCHAR) AS object,
+       '<xs:float>' AS type FROM base
+UNION ALL
+SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'l_returnflag',
+       {scrub.format(col='l_returnflag')}, '<xs:string>' FROM base
+UNION ALL
+SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'l_linestatus',
+       {scrub.format(col='l_linestatus')}, '<xs:string>' FROM base
+UNION ALL
+SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'l_shipdate',
+       {iso_sd}, '<xs:dateTime>' FROM base
+UNION ALL
+SELECT DISTINCT 'lineitem_' || l_orderkey || '_' || l_linenumber,
+       'dgraph.type', 'lineitem', '<xs:string>' FROM base
+UNION ALL
+SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'l_partkey',
+       'l_partkey_' || l_partkey, CAST(NULL AS VARCHAR) FROM base
+UNION ALL
+SELECT 'lineitem_' || l_orderkey || '_' || l_linenumber, 'l_suppkey',
+       'l_suppkey_' || l_suppkey, CAST(NULL AS VARCHAR) FROM base
 """
 
     sql['kg_nation_pre_rename'] = f"""
