@@ -233,6 +233,25 @@ def q_kg_conversation_edges(spark, sf_dir):
     return conversation_edges(ev)
 
 
+def q_kg_link_entities(spark, sf_dir):
+    """Entity canonicalization: rewrite edge objects through a broadcast
+    alias->canonical dictionary (map-side hash join, left + coalesce;
+    operators/canonicalize.py link_entities).  Dictionary derived
+    deterministically from the events table (user buckets)."""
+    from dgraphpandas_spark.operators.canonicalize import link_entities
+
+    _, edges = horizontal_transform(_t(spark, sf_dir, 'events'), EVENTS_CONFIG, 'event')
+    dictionary = (
+        _t(spark, sf_dir, 'events')
+        .select(
+            F.concat(F.lit('user_'), F.col('user_id')).alias('raw'),
+            F.concat(F.lit('canonical_user_'), F.pmod(F.col('user_id'), F.lit(10))).alias('canonical'),
+        )
+        .distinct()
+    )
+    return link_entities(edges, dictionary, target_predicates=['user'])
+
+
 def q_kg_schema_lines(spark, sf_dir):
     lines = generate_schema(create_schema(SCHEMA_CONFIG)).split('\n')
     return spark.createDataFrame([(l,) for l in lines], 'line string')
@@ -560,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_supplier_vertical': q_kg_supplier_vertical,
         'kg_upserts_customer': q_kg_upserts_customer,
         'kg_conversation_edges': q_kg_conversation_edges,
+        'kg_link_entities': q_kg_link_entities,
         'kg_schema_lines': q_kg_schema_lines,
         'kg_types_lines': q_kg_types_lines,
         'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
@@ -922,6 +942,22 @@ SELECT '<customer_' || c_custkey || '> <c_nationkey> <c_nationkey_' || c_nationk
 SELECT 'turn_u' || user_id || '_' || event_id AS subject, 'conv' AS predicate,
        'conversation_u' || user_id AS object, CAST(NULL AS VARCHAR) AS type
 FROM events
+"""
+
+    sql['kg_link_entities'] = """
+WITH edges AS (
+  SELECT 'event_' || event_id AS subject, 'user' AS predicate,
+         'user_' || user_id AS object, CAST(NULL AS VARCHAR) AS type
+  FROM events
+),
+dict AS (
+  SELECT DISTINCT 'user_' || user_id AS raw,
+         'canonical_user_' || (user_id % 10) AS canonical
+  FROM events
+)
+SELECT e.subject, e.predicate,
+       coalesce(d.canonical, e.object) AS object, e.type
+FROM edges e LEFT JOIN dict d ON e.object = d.raw
 """
 
     schema_lines = generate_schema(create_schema(SCHEMA_CONFIG)).split('\n')
