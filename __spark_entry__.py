@@ -438,6 +438,18 @@ def q_dedup_clusters(spark, sf_dir):
     return out.withColumn('keep', F.col('keep').cast('int'))
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation: quality+language gate, then MinHash-LSH
+    near-dup collapse among survivors (operators/curation.py).  The
+    composite pass a training-data pipeline actually runs."""
+    from dgraphpandas_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _documents_with_dups(spark, sf_dir),
+        min_quality=0.5, langs=('en',), n=3, bands=4, threshold=0.8,
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, 'documents'), bits=16)
 
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_clusters': q_dedup_clusters,
         'dedup_simhash': q_dedup_simhash,
+        'corpus_curation': q_corpus_curation,
         'text_stats': q_text_stats,
         'text_winnow_fingerprints': q_text_winnow_fingerprints,
         'events_json_props': q_events_json_props,
@@ -663,9 +676,27 @@ def _lang_sql() -> str:
     )
 
 
-def _minhash_cand_ctes(bands: int = 4, n: int = 3, max_bucket: int = 10_000) -> str:
+def _quality_sql() -> str:
+    """Mirrors functions.text.quality_score (same formula as the
+    text_stats oracle, factored for reuse over any text relation)."""
+    toks = _TOKS.format(col='text')
+    punct = "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+    sw = '[' + ', '.join(f"'{w}'" for w in TX.STOPWORDS) + ']'
+    sw_ratio = f'(len(list_filter({toks}, t -> list_contains({sw}, t))) / len({toks})::double)'
+    return (
+        f"round(0.5 * least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0 "
+        f"ELSE len({toks}) END) / 100.0) "
+        f"+ 0.3 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE {punct} / length(text)::double END)) "
+        f"+ 0.2 * (CASE WHEN len({toks}) = 0 THEN 0.0 ELSE {sw_ratio} END), 6)"
+    )
+
+
+def _minhash_cand_ctes(
+    bands: int = 4, n: int = 3, max_bucket: int = 10_000, docs_cte: str = None
+) -> str:
     """CTE chain ending in ``cand(id_a, id_b)`` — numeric 60-bit signature
-    prefix + hot-bucket cap, mirrors operators.dedup.minhash_lsh_candidates."""
+    prefix + hot-bucket cap, mirrors operators.dedup.minhash_lsh_candidates.
+    ``docs_cte`` overrides the base ``docs(doc_id, text)`` relation."""
     sigs = ', '.join(
         f"min(('0x' || substr(md5(s || '#{j}'), 1, 15))::bigint) AS sig_{j}"
         for j in range(bands)
@@ -674,7 +705,7 @@ def _minhash_cand_ctes(bands: int = 4, n: int = 3, max_bucket: int = 10_000) -> 
         f"SELECT id, '{j}|' || sig_{j} AS bucket FROM sigs" for j in range(bands)
     )
     return (
-        f'{_docs_dups_cte()}, {_shingles_cte(n)}, '
+        f'{docs_cte or _docs_dups_cte()}, {_shingles_cte(n)}, '
         f'sigs AS (SELECT id, {sigs} FROM sh GROUP BY id), '
         f'buckets AS ({buckets}), '
         f'bsz AS (SELECT bucket, count(*) AS c FROM buckets GROUP BY 1), '
@@ -742,12 +773,14 @@ def _trained_ivf_sql(
     )
 
 
-def _clusters_sql(bands: int = 4, n: int = 3, threshold: float = 0.8) -> str:
-    """dedup_clusters oracle: LSH candidates → exact-Jaccard verify →
-    connected components via a recursive CTE (min reachable id = the same
-    fixpoint the engine's min-label propagation converges to)."""
-    return f"""
-WITH RECURSIVE {_minhash_cand_ctes(bands, n)},
+def _clusters_ctes(
+    bands: int = 4, n: int = 3, threshold: float = 0.8, docs_cte: str = None
+) -> str:
+    """CTE chain (for WITH RECURSIVE) ending in ``labels(id, cluster_id)``:
+    LSH candidates → exact-Jaccard verify → connected components (min
+    reachable id = the same fixpoint the engine's min-label propagation
+    converges to)."""
+    return f"""{_minhash_cand_ctes(bands, n, docs_cte=docs_cte)},
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
@@ -765,7 +798,13 @@ reach(id, label) AS (
   UNION
   SELECT u.d, r.label FROM reach r JOIN und u ON u.s = r.id
 ),
-labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)"""
+
+
+def _clusters_sql(bands: int = 4, n: int = 3, threshold: float = 0.8) -> str:
+    """dedup_clusters oracle over the duplicated-documents fixture."""
+    return f"""
+WITH RECURSIVE {_clusters_ctes(bands, n, threshold)}
 SELECT id, cluster_id, (id = cluster_id)::int AS keep FROM labels
 """
 
@@ -1035,6 +1074,22 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
     sql['dedup_minhash_lsh'] = _minhash_sql(bands=4, n=3)
     sql['dedup_clusters'] = _clusters_sql(bands=4, n=3, threshold=0.8)
     sql['dedup_simhash'] = _simhash_sql(bits=16)
+
+    passing_cte = (
+        "docs AS (SELECT doc_id, text FROM scored "
+        "WHERE quality >= 0.5 AND lang_pred = 'en')"
+    )
+    sql['corpus_curation'] = f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 1000000, text FROM documents),
+scored AS (SELECT doc_id, text, {_quality_sql()} AS quality,
+                  {_lang_sql()} AS lang_pred FROM base),
+{_clusters_ctes(bands=4, n=3, threshold=0.8, docs_cte=passing_cte)}
+SELECT s.doc_id, s.quality, s.lang_pred
+FROM scored s JOIN labels l ON l.id = s.doc_id
+WHERE l.id = l.cluster_id
+"""
 
     toks = _TOKS.format(col='text')
     punct = "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"

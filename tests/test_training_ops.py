@@ -476,3 +476,23 @@ def test_winnow_fingerprints_properties(spark):
         'doc_id', winnow_fingerprints(F.col('text'), k=3, w=4).alias('fps')
     ).collect()
     assert {r['doc_id']: set(r['fps']) for r in again} == fps
+
+
+def test_curate_corpus_filters_and_dedups(spark, docs):
+    from dgraphpandas_spark.operators.curation import curate_corpus
+
+    doubled = docs.select('doc_id', 'text').unionByName(
+        docs.select((F.col('doc_id') + 10_000).alias('doc_id'), 'text')
+    )
+    kept = curate_corpus(doubled, min_quality=0.5, langs=('en',), bands=4).collect()
+    assert kept, 'threshold 0.5 keeps part of the corpus'
+    assert all(r['quality'] >= 0.5 and r['lang_pred'] == 'en' for r in kept)
+    # every kept doc is its cluster's min id: the planted +10k duplicate of
+    # any kept doc must NOT be kept
+    ids = {r['doc_id'] for r in kept}
+    assert not any(i + 10_000 in ids for i in ids if i < 10_000), (
+        'planted exact duplicates must collapse to the min id'
+    )
+    # quality gate is applied before dedup: nothing below threshold leaks in
+    n_passing = doubled.count()
+    assert 0 < len(kept) < n_passing
