@@ -1,0 +1,72 @@
+"""Physical-plan evidence tests: predicate pushdown, column pruning, and
+partition pruning must actually reach the parquet scan (the 100-TB
+contract PLANS.md documents — these tests pin it)."""
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet(f'{SF_DIR}/orders.parquet')
+        .filter(F.col('o_custkey') == 7)
+        .select('o_orderkey')
+    )
+    p = _plan(df)
+    assert 'PushedFilters:' in p and 'o_custkey' in p.split('PushedFilters:')[1].split(']')[0], \
+        'filter must reach the parquet scan as a pushed filter'
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection over the 9-column lineitem table must read a
+    2-column schema at the source."""
+    df = (
+        spark.read.parquet(f'{SF_DIR}/lineitem.parquet')
+        .select('l_orderkey', 'l_quantity')
+    )
+    p = _plan(df)
+    read_schema = p.split('ReadSchema:')[1].splitlines()[0]
+    assert 'l_orderkey' in read_schema and 'l_quantity' in read_schema
+    assert 'l_returnflag' not in read_schema and 'l_extendedprice' not in read_schema
+
+
+def test_kg_type_branch_prunes_to_key_columns(spark):
+    """The dgraph.type branch of the KG plan reads ONLY the subject-key
+    columns (PLANS.md section 1 claim)."""
+    import __spark_entry__ as e
+
+    intrinsic = e.q_kg_customer_intrinsic(spark, SF_DIR)
+    p = _plan(intrinsic)
+    schemas = [seg.splitlines()[0] for seg in p.split('ReadSchema:')[1:]]
+    assert any('c_custkey' in s and 'c_name' not in s for s in schemas), \
+        'type branch must prune to the key column only'
+
+
+def test_ivf_inverted_file_partition_pruning(spark, tmp_path):
+    """Materialized inverted file partitioned by cell: an nprobe query scan
+    must prune to the probed partitions (PartitionFilters on cell)."""
+    from dgraphpandas_spark.operators.simsearch import ivf_assign
+
+    emb = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
+    out = str(tmp_path / 'ivf')
+    ivf_assign(emb, n_cells=8, dim=64, seed=7).write.partitionBy('cell').parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col('cell').isin([1, 5]))
+    p = _plan(probe)
+    seg = p.split('PartitionFilters:')[1].split(']')[0]
+    assert 'cell' in seg, 'cell filter must prune partitions at the scan'
+    # and it actually prunes: only the probed cells' rows are read
+    assert probe.select('cell').distinct().count() <= 2
