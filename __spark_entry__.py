@@ -252,6 +252,34 @@ def q_kg_link_entities(spark, sf_dir):
     return link_entities(edges, dictionary, target_predicates=['user'])
 
 
+NATION_REGION_CONFIG = {
+    'files': {
+        'nation': {
+            'subject_fields': ['n_nationkey'],
+            'edge_fields': ['n_regionkey'],
+            'ignore_fields': ['n_name'],
+            'add_dgraph_type_records': False,
+        }
+    }
+}
+
+
+def q_kg_region_linked_edges(spark, sf_dir):
+    """FK edge + canonicalization across tables: nation->region edges with
+    the synthetic n_regionkey_K objects rewritten to named region nodes via
+    a broadcast dictionary built from the region table."""
+    from dgraphpandas_spark.operators.canonicalize import link_entities
+
+    _, edges = horizontal_transform(
+        _t(spark, sf_dir, 'nation'), NATION_REGION_CONFIG, 'nation'
+    )
+    dictionary = _t(spark, sf_dir, 'region').select(
+        F.concat(F.lit('n_regionkey_'), F.col('r_regionkey')).alias('raw'),
+        F.concat(F.lit('region_'), F.col('r_name')).alias('canonical'),
+    )
+    return link_entities(edges, dictionary)
+
+
 def q_kg_schema_lines(spark, sf_dir):
     lines = generate_schema(create_schema(SCHEMA_CONFIG)).split('\n')
     return spark.createDataFrame([(l,) for l in lines], 'line string')
@@ -592,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_upserts_customer': q_kg_upserts_customer,
         'kg_conversation_edges': q_kg_conversation_edges,
         'kg_link_entities': q_kg_link_entities,
+        'kg_region_linked_edges': q_kg_region_linked_edges,
         'kg_schema_lines': q_kg_schema_lines,
         'kg_types_lines': q_kg_types_lines,
         'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
@@ -981,6 +1010,13 @@ SELECT '<customer_' || c_custkey || '> <c_nationkey> <c_nationkey_' || c_nationk
 SELECT 'turn_u' || user_id || '_' || event_id AS subject, 'conv' AS predicate,
        'conversation_u' || user_id AS object, CAST(NULL AS VARCHAR) AS type
 FROM events
+"""
+
+    sql['kg_region_linked_edges'] = """
+SELECT 'nation_' || n.n_nationkey AS subject, 'n_regionkey' AS predicate,
+       coalesce('region_' || r.r_name, 'n_regionkey_' || n.n_regionkey) AS object,
+       CAST(NULL AS VARCHAR) AS type
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
 """
 
     sql['kg_link_entities'] = """
