@@ -403,11 +403,15 @@ def vertical_transform(
 
     if not precomputed_subject:  # else scrubbed once on the wide frame
         intrinsic = _gated_scrub(intrinsic, 'subject', illegal_characters)
-    intrinsic = _gated_scrub(intrinsic, 'object', illegal_characters_intrinsic_object)
 
-    # P2 — NA drops
+    # P2 — NA drop BEFORE the object scrub: regexp_replace preserves
+    # nullness, so the results are identical, but filtering first keeps
+    # Catalyst from substituting the scrub regex into the Filter predicate
+    # (which would run the regexp twice per row — once to null-check, once
+    # to project).
     if drop_na_intrinsic_objects:
         intrinsic = intrinsic.filter(F.col('object').isNotNull())
+    intrinsic = _gated_scrub(intrinsic, 'object', illegal_characters_intrinsic_object)
 
     intrinsic = intrinsic.select(*TRIPLE_COLUMNS)
 
@@ -416,9 +420,11 @@ def vertical_transform(
 
     if not precomputed_subject:  # else scrubbed once on the wide frame
         edges = _gated_scrub(edges, 'subject', illegal_characters)
-    edges = _gated_scrub(edges, 'object', illegal_characters, stripped_names=bool(strip_id_from_edge_names))
+    # NA drop before the object scrub — same double-regexp avoidance as the
+    # intrinsic branch (scrub preserves nullness)
     if drop_na_edge_objects:
         edges = edges.filter(F.col('object').isNotNull())
+    edges = _gated_scrub(edges, 'object', illegal_characters, stripped_names=bool(strip_id_from_edge_names))
 
     # C9 — edge object qualification (vertical_helpers.py:216-249), pure
     # expressions instead of the reference's in-place row mutation.
