@@ -38,9 +38,20 @@ def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
     )
 
 
-def shingles(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text', n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams of the normal form.
-    Expression-only: sequence + transform + slice, then explode."""
+def shingles(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs: word n-grams of the normal form.
+    Expression-only: sequence + transform + slice, then explode.
+
+    ``distinct=True`` (set semantics — required for Jaccard counting) costs
+    a full shuffle of every (id, shingle) pair; pass ``distinct=False``
+    where duplicates don't change the result (MinHash signatures: ``min``
+    over a multiset equals ``min`` over its set)."""
     toks = tokens(F.col(text_col))
     # guard: Spark sequence(1, 0) would COUNT DOWN ([1,0]); short docs get
     # an empty shingle set instead
@@ -50,10 +61,8 @@ def shingles(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text', n: i
             lambda i: F.array_join(F.slice(toks, i, n), ' '),
         )
     )
-    return (
-        df.select(F.col(id_col).alias('id'), F.explode(sh).alias('shingle'))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias('id'), F.explode(sh).alias('shingle'))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -118,8 +127,14 @@ def minhash_signatures(
     HashAggregate with map-side partial combine — the shape you want when
     grouping 10^12 shingle rows.  60 bits of a uniform hash preserve
     MinHash semantics; the same ``('0x'||substr(md5,1,15))::bigint``
-    conversion runs in the DuckDB oracle."""
-    sh = shingles(df, id_col, text_col, n)
+    conversion runs in the DuckDB oracle.
+
+    Shingles are NOT deduped first: ``min`` over a multiset equals ``min``
+    over its set, so the signature agg consumes the raw explode directly —
+    one HashAggregate instead of distinct-shuffle + agg (removes the
+    largest shuffle in the LSH pipeline; the oracle's DISTINCT is
+    harmless for the same reason)."""
+    sh = shingles(df, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(
             F.conv(
