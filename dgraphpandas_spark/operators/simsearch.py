@@ -178,6 +178,57 @@ def ivf_topk(
     )
 
 
+def ivf_materialize(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = 'embedding',
+    centroids: Sequence[Sequence[float]] = None,
+    train_iters: int = 0,
+) -> List[List[float]]:
+    """Build the inverted file ON DISK: assign every vector to its cell and
+    write partitioned by ``cell``, so queries prune to nprobe/n_cells of
+    the corpus at the SCAN (PartitionFilters — pinned by
+    tests/test_plan_evidence.py).  ``train_iters > 0`` runs k-means rounds
+    first (train_ivf_centroids).  Returns the centroids — persist them next
+    to the table; they are the query-side half of the index.
+    """
+    if centroids is None:
+        if train_iters > 0:
+            centroids = train_ivf_centroids(df, n_cells, train_iters, vec_col=vec_col)
+        else:
+            centroids = hyperplanes(n_cells, dim, seed)
+    assigned = ivf_assign(df, n_cells, dim, seed, vec_col, centroids)
+    assigned.write.mode('overwrite').partitionBy('cell').parquet(path)
+    return [list(map(float, c)) for c in centroids]
+
+
+def ivf_query_materialized(
+    spark,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    query_vec: List[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Query a materialized inverted file: the driver scores the centroids,
+    and the scan reads ONLY the nprobe probed cell partitions (partition
+    pruning — no recompute of cell assignment, no full-corpus scan)."""
+    probes = _query_cells(query_vec, centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col('cell').isin(probes))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias('score'))
+        .orderBy(F.col('score').desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def bucket_histogram(
     df: DataFrame,
     n_planes: int = 8,

@@ -496,3 +496,33 @@ def test_curate_corpus_filters_and_dedups(spark, docs):
     # quality gate is applied before dedup: nothing below threshold leaks in
     n_passing = doubled.count()
     assert 0 < len(kept) < n_passing
+
+
+def test_ivf_materialized_query_matches_inline(spark, emb, tmp_path):
+    """The materialized inverted file answers nprobe queries identically to
+    the inline path, while reading only the probed cell partitions."""
+    import contextlib
+    import io
+
+    from dgraphpandas_spark.operators.simsearch import (
+        ivf_materialize,
+        ivf_query_materialized,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    out = str(tmp_path / 'ivf_index')
+    cents = ivf_materialize(emb, out, n_cells=8, dim=64, train_iters=2)
+    assert cents == [list(map(float, c)) for c in train_ivf_centroids(emb, 8, 2)]
+
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    stored = ivf_query_materialized(spark, out, cents, qvec, k=5, nprobe=2)
+    inline = ivf_topk(emb, qvec, k=5, n_cells=8, nprobe=2, centroids=cents)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in inline.collect()]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored.explain(True)
+    p = buf.getvalue()
+    assert 'cell' in p.split('PartitionFilters:')[1].split(']')[0], \
+        'materialized query must prune cell partitions at the scan'
