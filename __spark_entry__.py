@@ -596,6 +596,131 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_kg_salted_dedup(spark, sf_dir):
+    """Salted two-phase triple dedup (``dedup_triples(salt_buckets=8)``,
+    operators/canonicalize.py) over a deliberately skewed triple set: ~90%
+    of event rows collapse onto one hot subject, the aggregation-skew case
+    AQE cannot split (AQE skew handling covers joins, not a single hot
+    group).  Phase 1 dedups within (tuple, salt) so the hot key spreads
+    over 8 reducers; phase 2 dedups the survivors.  Oracle: plain SELECT
+    DISTINCT of the same triple expressions."""
+    from dgraphpandas_spark.operators.canonicalize import dedup_triples
+
+    ev = _t(spark, sf_dir, 'events')
+    triples = ev.select(
+        F.when(F.col('event_id') % 10 < 9, F.lit('hot_conv'))
+        .otherwise(F.concat(F.lit('u'), F.col('user_id'))).alias('subject'),
+        F.col('event_type').alias('predicate'),
+        F.concat(F.lit('"'), F.col('event_type'), F.lit('"')).alias('object'),
+        F.lit('<xs:string>').alias('type'),
+    )
+    return dedup_triples(triples, salt_buckets=8)
+
+
+def q_stream_stateful_multibatch(spark, sf_dir):
+    """Stateful sessions ACROSS micro-batches: the events feed is split
+    into two parity files and ``maxFilesPerTrigger=1`` forces one batch per
+    file, so per-conversation state must survive batch 1 to be correct
+    after batch 2.  The update-mode memory sink keeps one row per
+    (conversation, touching batch); aggregating with max/min equals the
+    batch totals ONLY if state accumulated (otherwise max(n_turns) is the
+    larger half, not the sum), and ``n_updates`` pins that both batches
+    really touched the conversation."""
+    import os
+    import tempfile
+
+    from dgraphpandas_spark.streaming.stateful import conversation_sessions
+
+    tmp = tempfile.mkdtemp(prefix='stream_mb_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    ev = _t(spark, sf_dir, 'events')
+    for par in (0, 1):
+        ev.filter(F.col('event_id') % 2 == par).coalesce(1).write.mode('append').parquet(indir)
+    schema = ('event_id bigint, ts timestamp, user_id bigint, '
+              'event_type string, value double, props string')
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(indir)
+        .select(
+            F.concat(F.lit('u'), F.col('user_id')).alias('conv_id'),
+            F.col('event_id').cast('int').alias('turn_idx'),
+            F.col('event_type').alias('role'),
+            F.col('props').alias('text'),
+            F.when(F.col('event_type') != 'click', F.col('event_type')).alias('tool'),
+            'ts',
+        )
+    )
+    out = conversation_sessions(stream)
+    name = 'stream_mb_' + os.path.basename(tmp).replace('stream_mb_', '')
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode('update')
+        .format('memory')
+        .queryName(name)
+        .option('checkpointLocation', os.path.join(tmp, 'ck'))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy('conv_id').agg(
+        F.max('n_turns').alias('n_turns'),
+        F.max('n_tool_calls').alias('n_tool_calls'),
+        F.min('first_ts').alias('first_ts'),
+        F.max('last_ts').alias('last_ts'),
+        F.max('max_turn_idx').alias('max_turn_idx'),
+        F.count('*').alias('n_updates'),
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of every approximate index vs the exact brute-force top-10
+    for the same query vector — the accuracy half of the ANN
+    speed/accuracy trade, deterministic (both engines compute the same
+    candidate sets and the same intersection)."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    brute = SS.brute_force_topk(emb, qvec, k=10).select('vec_id')
+    cands = {
+        'lsh_multiprobe': SS.lsh_topk(
+            emb, qvec, k=10, n_planes=8, seed=42, multi_probe=True
+        ),
+        'ivf_seeded': SS.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, seed=7),
+        'ivf_trained': SS.ivf_topk(
+            emb, qvec, k=10, n_cells=8, nprobe=2,
+            centroids=SS.train_ivf_centroids(emb, n_cells=8, iters=2),
+        ),
+    }
+    parts = [
+        c.select('vec_id').join(brute, 'vec_id')
+        .agg(F.round(F.count('*') / F.lit(10.0), 6).alias('recall_at_10'))
+        .select(F.lit(m).alias('method'), 'recall_at_10')
+        for m, c in cands.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL media decode, oracle-checked: the WAV/PPM payloads are decoded
+    by the registered stdlib/numpy codecs and the emitted integers
+    (header framerate / frame count / dims, exact pixel byte sum) are
+    re-derived by the DuckDB oracle in closed form from the deterministic
+    fixture parameters (sha256-seeded) — values only a working decoder can
+    produce from the bytes."""
+    from dgraphpandas_spark.operators import multimodal as MM
+
+    media = MM.synthetic_real_media(spark, n_rows=60, seed=42)
+    stats = MM.decode_media_stats(media)
+    return stats.select(
+        'media_id', 'kind', 'n_bytes', 'framerate', 'n_samples',
+        F.expr('CAST(n_samples AS BIGINT) * 1000 DIV framerate').alias('duration_ms'),
+        'width', 'height', 'pixel_sum',
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction (intrinsic + edges) on sf0.001."""
     sf_dir = '/root/testdata/sf0.001'
@@ -626,8 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
         'kg_callable_config': q_kg_callable_config,
         'kg_edge_id_convention': q_kg_edge_id_convention,
+        'kg_salted_dedup': q_kg_salted_dedup,
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
+        'stream_stateful_multibatch': q_stream_stateful_multibatch,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -642,10 +769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_histogram': q_ann_ivf_histogram,
         'ann_ivf_topk': q_ann_ivf_topk,
         'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
+        'ann_recall': q_ann_recall,
         'emb_neardup_lsh': q_emb_neardup_lsh,
         'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
         'emb_neardup_pairs': q_emb_neardup_pairs,
         'multimodal_meta': q_multimodal_meta,
+        'multimodal_wav_decode': q_multimodal_wav_decode,
     }
 
 
@@ -1084,6 +1213,33 @@ SELECT 'u' || user_id AS conv_id,
 FROM events GROUP BY 1
 """
 
+    # Salted dedup is plain DISTINCT semantically — the salt only changes
+    # the physical aggregation shape (two-phase, hot key spread over 8
+    # reducers), never the result.
+    sql['kg_salted_dedup'] = """
+SELECT DISTINCT
+  CASE WHEN event_id % 10 < 9 THEN 'hot_conv' ELSE 'u' || user_id END AS subject,
+  event_type AS predicate,
+  '"' || event_type || '"' AS object,
+  '<xs:string>' AS type
+FROM events
+"""
+
+    # Multi-batch stateful sessions: totals equal the batch aggregate ONLY
+    # if state accumulated across the two parity micro-batches (otherwise
+    # max(n_turns) is the larger half, not the sum); n_updates = number of
+    # batches that touched the conversation (= distinct event_id parities).
+    sql['stream_stateful_multibatch'] = """
+SELECT 'u' || user_id AS conv_id,
+       count(*) AS n_turns,
+       count(CASE WHEN event_type != 'click' THEN 1 END) AS n_tool_calls,
+       epoch_us(min(ts)) AS first_ts,
+       epoch_us(max(ts)) AS last_ts,
+       max(event_id)::int AS max_turn_idx,
+       count(DISTINCT event_id % 2) AS n_updates
+FROM events GROUP BY 1
+"""
+
     norm = _NORM.format(col='text')
     sql['dedup_exact'] = f"""
 WITH {_docs_dups_cte()}
@@ -1162,9 +1318,12 @@ w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
 SELECT doc_id, u.fp FROM w, unnest(list_distinct(wins)) AS u(fp)
 """
 
+    # CAST(sum AS BIGINT): DuckDB sum(int) yields HUGEINT, which fetchdf()
+    # renders as float64 ('9707.0') while Spark returns bigint ('9707') —
+    # the hash compares lexical forms, so pin the dtype (round-2 red row).
     sql['events_json_props'] = """
 SELECT event_type, count(*) AS n,
-       sum(json_extract_string(props, '$.k')::int) AS sum_k,
+       CAST(sum(json_extract_string(props, '$.k')::int) AS BIGINT) AS sum_k,
        min(json_extract_string(props, '$.k')::int) AS min_k,
        max(json_extract_string(props, '$.k')::int) AS max_k
 FROM events GROUP BY 1
@@ -1210,6 +1369,66 @@ LIMIT 10
 """
 
     sql['ann_ivf_trained_topk'] = _trained_ivf_sql(n_cells=8, iters=2, nprobe=2, k=10, dim=64)
+
+    # Recall@10 of each approximate index vs exact brute force: the three
+    # candidate top-10s are the (already-green) per-method oracle queries
+    # inlined as subqueries; LSH multi-probe = same bucket or Hamming-1.
+    lsh_b = _lsh_bucket_sql('e.v')
+    lsh_qb = _lsh_bucket_sql('q.v')
+    probe_pows = ', '.join(str(2 ** i) for i in range(8))
+    lsh_topk_sql = f"""
+SELECT vec_id FROM (
+  SELECT e.vec_id, round({_cosine_sql('e.v', 'q.v')}, 6) AS score
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings) e,
+       (SELECT list_transform(embedding, x -> x::double) AS v FROM embeddings WHERE vec_id = 0) q
+  WHERE {lsh_b} = {lsh_qb} OR xor({lsh_b}, {lsh_qb}) IN ({probe_pows})
+) ORDER BY score DESC, vec_id LIMIT 10
+"""
+    sql['ann_recall'] = f"""
+WITH brute AS (SELECT vec_id FROM ({sql['ann_cosine_topk']})),
+lshk AS (SELECT vec_id FROM ({lsh_topk_sql})),
+ivfk AS (SELECT vec_id FROM ({sql['ann_ivf_topk']})),
+ivftk AS (SELECT vec_id FROM ({sql['ann_ivf_trained_topk']}))
+SELECT 'lsh_multiprobe' AS method, round(count(*) / 10.0, 6) AS recall_at_10
+FROM lshk JOIN brute USING (vec_id)
+UNION ALL
+SELECT 'ivf_seeded', round(count(*) / 10.0, 6) FROM ivfk JOIN brute USING (vec_id)
+UNION ALL
+SELECT 'ivf_trained', round(count(*) / 10.0, 6) FROM ivftk JOIN brute USING (vec_id)
+"""
+
+    # Real-decode audit: re-derive the decoder outputs in closed integer
+    # form from the sha256-seeded fixture params (multimodal.py
+    # synthetic_real_media) — WAV: 44-byte header + 2 bytes/frame at
+    # 16 kHz; PPM: 'P6\\n{w} {h}\\n255\\n' header + exact gradient pixel
+    # sums (all integer floor-division, no float replication).
+    sql['multimodal_wav_decode'] = """
+WITH ids AS (SELECT unnest(range(60)) AS i),
+p AS (SELECT i,
+        ('0x' || substr(sha256('42:' || i), 1, 2))::int AS h0,
+        ('0x' || substr(sha256('42:' || i), 3, 2))::int AS h1,
+        ('0x' || substr(sha256('42:' || i), 5, 2))::int AS h2
+      FROM ids),
+aud AS (
+  SELECT i AS media_id, 'audio' AS kind,
+         (44 + 2 * (800 + h1 * 8))::int AS n_bytes,
+         16000 AS framerate, (800 + h1 * 8)::int AS n_samples,
+         ((800 + h1 * 8) * 1000) // 16000 AS duration_ms,
+         NULL::int AS width, NULL::int AS height, NULL::bigint AS pixel_sum
+  FROM p WHERE i % 2 = 0),
+dims AS (SELECT i, h2, (16 + h0 % 48)::int AS w, (16 + h1 % 48)::int AS hh
+         FROM p WHERE i % 2 = 1),
+img AS (
+  SELECT i AS media_id, 'image' AS kind,
+         (9 + length(w::varchar) + length(hh::varchar) + w * hh * 3)::int AS n_bytes,
+         NULL::int AS framerate, NULL::int AS n_samples, NULL::bigint AS duration_ms,
+         w AS width, hh AS height,
+         (hh * list_sum(list_transform(range(w), x -> (x * 255) // (w - 1)))
+          + w * list_sum(list_transform(range(hh), y -> (y * 255) // (hh - 1)))
+          + w * hh * h2)::bigint AS pixel_sum
+  FROM dims)
+SELECT * FROM aud UNION ALL SELECT * FROM img
+"""
 
     cos_ab = _cosine_sql('a.v', 'b.v')
     sql['emb_neardup_pairs'] = f"""

@@ -92,8 +92,70 @@ def _exp2(e: Column) -> Column:
     )
 
 
+def _c_near(ds: Column, n: Column, k: Column) -> Column:
+    """Nearest integer candidate after dropping the last ``k`` digits of
+    the digit string ``ds`` (length ``n``).  Digit-string split, not long
+    division: 17+-digit values lose precision through double arithmetic.
+    try_cast: ANSI mode, and '' (when n<=k) must yield NULL so callers'
+    conditions null out — ``&`` does not short-circuit in codegen."""
+    c1 = F.substr(ds, F.lit(1), n - k).try_cast('long')
+    r = F.substr(ds, n - k + F.lit(1)).try_cast('long')
+    # 10^k exact as a double for k<=5, so the cast back to long is exact
+    half_up = F.pow(F.lit(10.0), k.cast('double')).cast('long')
+    return F.when(r * 2 >= half_up, c1 + 1).otherwise(c1)
+
+
+def shortest_digits_k(d: Column, s: Column, ds: Column, expn: Column) -> Column:
+    """How many trailing digits (5..1, NULL if none) can be dropped from
+    ``ds`` — rounding to nearest — such that the shortened mantissa still
+    casts back to exactly ``d``.  This is the *search* half of the
+    shortest-digits repr; staging its result as a projection attribute
+    keeps the expensive 5-arm check out of the render expression (which
+    would otherwise reference it several times and blow up plan size /
+    codegen compile time — measured 5-20 s per fresh plan)."""
+    sign = F.when(s.startswith('-'), F.lit('-')).otherwise(F.lit(''))
+    n = F.length(ds)
+
+    def _ok(k: Column) -> Column:
+        cand_exp = expn + F.lit(1) + k - n
+        back = F.concat(
+            sign, _c_near(ds, n, k).cast('string'), F.lit('E'), cand_exp.cast('string')
+        ).try_cast('double')
+        return (n > k) & (back == d)
+
+    # One higher-order filter instead of 5 unrolled CASE arms: the check
+    # subtree appears ONCE in the plan and is excluded from whole-stage
+    # codegen (HOFs eval interpreted), which cuts the janino compile cost
+    # that dominated single-shot timings; interpreted eval only runs on
+    # the (rare, gated) scientific-range rows.  First match = largest k =
+    # shortest mantissa.
+    ks = F.array(*[F.lit(kv) for kv in (5, 4, 3, 2, 1)])
+    return F.get(F.filter(ks, _ok), 0)
+
+
+def sci_staged_cols(d: Column, s: Column):
+    """(ds, expn) staging expressions for ``pandas_double_str_parts``, each
+    gated behind ``s.contains('E')``: they are only consumed on the
+    scientific branch, and CASE WHEN branches evaluate lazily in generated
+    code, so non-scientific doubles (e.g. every TPC-H money column) pay one
+    ``contains`` per value instead of 3 regexp_extracts + casts — the
+    round-2 float-parity fix cost +15-25% warm on float-bearing queries
+    before this gating."""
+    gate = s.contains('E')
+    g = F.when(gate, shortest_digits_input(d, s))
+    e = F.when(gate, F.regexp_extract(s, r'E(-?\d+)$', 1).try_cast('int'))
+    return g, e
+
+
+def sci_staged_k(d: Column, s: Column, ds: Column, expn: Column) -> Column:
+    """Gated ``shortest_digits_k`` staging expression.  Stage it in a LATER
+    projection than (ds, expn) so it references them as plain attributes —
+    inlining them would duplicate their regex subtrees ~10×."""
+    return F.when(s.contains('E'), shortest_digits_k(d, s, ds, expn))
+
+
 def pandas_double_str_parts(
-    d: Column, s: Column, ds: Column = None, expn: Column = None
+    d: Column, s: Column, ds: Column = None, expn: Column = None, k: Column = None
 ) -> Column:
     """``str(float)`` rewrite given pre-staged ``d`` (double) and ``s``
     (its Java string form).  IMPORTANT: pass plain column *references* —
@@ -101,9 +163,13 @@ def pandas_double_str_parts(
     multiplies plan size and codegen compile time (measured 5-20 s per
     fresh plan before staging).  ``melt`` stages them as projection
     attributes for exactly this reason; it also stages ``ds``
-    (``shortest_digits_input``) and ``expn`` (the parsed base-10 exponent)
-    — pass those too in hot paths or the shortest-repr search below blows
-    past janino's 64 KB method limit and the stage loses codegen.
+    (``shortest_digits_input``), ``expn`` (the parsed base-10 exponent)
+    and ``k`` (``shortest_digits_k``) — pass those too in hot paths or
+    the shortest-repr search blows past janino's 64 KB method limit and
+    the stage loses codegen.  The staged columns are only consumed on the
+    scientific branch, so callers should gate them behind
+    ``s.contains('E')`` (NULL otherwise) to keep the regex/substr work off
+    the non-scientific fast path entirely.
     """
     sign = F.when(s.startswith('-'), F.lit('-')).otherwise(F.lit(''))
     lead = F.regexp_extract(s, r'^-?(\d+)\.', 1)
@@ -116,32 +182,28 @@ def pandas_double_str_parts(
     ndig = F.length(digits)
     intlen = expn + F.lit(1)
 
-    # Shortest-digits search for the scientific branch: try rounding the
-    # digit string k=5..1 digits shorter (round to nearest; the digit
-    # string is exact for integral doubles, see shortest_digits_input) and
-    # keep the shortest candidate that casts back to exactly ``d``; fall
-    # back to Java's digits.  Round-trip verification means every emitted
-    # string is a correct representation of ``d``; the fallback can differ
-    # lexically from CPython (one extra digit) only on non-integral /
-    # ≥2^63 sci-range doubles, measured <0.5% of those.
+    # Shortest-digits repr for the scientific branch: drop the largest
+    # round-trip-safe count of trailing digits (k, from shortest_digits_k;
+    # the digit string is exact for integral doubles, see
+    # shortest_digits_input); fall back to Java's digits when no drop
+    # round-trips.  Round-trip verification means every emitted string is
+    # a correct representation of ``d``; the fallback can differ lexically
+    # from CPython (one extra digit) only on non-integral / ≥2^63
+    # sci-range doubles, measured <0.5% of those.
     if ds is None:
         ds = shortest_digits_input(d, s)
     n = F.length(ds)
+    if k is None:
+        k = shortest_digits_k(d, s, ds, expn)
 
-    def _sci_render(c: Column, dropped: int) -> Column:
-        cs = c.cast('string')
-        cd = F.regexp_replace(cs, '0+$', '')
-        disp_exp = expn + F.length(cs) + F.lit(dropped) - n
-        mant_c = F.concat(
-            F.substr(cd, F.lit(1), F.lit(1)),
-            F.when(F.length(cd) > 1, F.concat(F.lit('.'), F.substr(cd, F.lit(2)))).otherwise(F.lit('')),
-        )
-        return F.concat(sign, mant_c, F.lit('e'), _exp2(disp_exp))
-
-    def _roundtrips(c: Column, dropped: int) -> Column:
-        cand_exp = expn + F.lit(1 + dropped) - n
-        back = F.concat(sign, c.cast('string'), F.lit('E'), cand_exp.cast('string')).try_cast('double')
-        return back == d
+    cs = _c_near(ds, n, k).cast('string')
+    cd = F.regexp_replace(cs, '0+$', '')
+    disp_exp = expn + F.length(cs) + k - n
+    mant_c = F.concat(
+        F.substr(cd, F.lit(1), F.lit(1)),
+        F.when(F.length(cd) > 1, F.concat(F.lit('.'), F.substr(cd, F.lit(2)))).otherwise(F.lit('')),
+    )
+    sci_short = F.concat(sign, mant_c, F.lit('e'), _exp2(disp_exp))
 
     sci_java = F.concat(
         sign,
@@ -150,20 +212,7 @@ def pandas_double_str_parts(
         F.lit('e'),
         _exp2(expn),
     )
-    branches = []
-    for k in (5, 4, 3, 2, 1):
-        # split the digit string (not long division: 17+-digit values lose
-        # precision through double arithmetic), round to the nearest
-        # k-digits-shorter integer candidate
-        # try_cast: ANSI mode, and '' (when n<=k) must yield NULL so the
-        # arm's condition nulls out — `&` does not short-circuit in codegen
-        c1 = F.substr(ds, F.lit(1), n - k).try_cast('long')
-        r = F.substr(ds, n - k + 1).try_cast('long')
-        c_near = F.when(r * 2 >= F.lit(10 ** k), c1 + 1).otherwise(c1)
-        branches.append(((n > k) & _roundtrips(c_near, k), _sci_render(c_near, k)))
-    sci = sci_java
-    for cond, val in reversed(branches):
-        sci = F.when(cond, val).otherwise(sci)
+    sci = F.when(k.isNotNull(), sci_short).otherwise(sci_java)
     pos_big = F.concat(
         sign,
         F.when(
@@ -186,9 +235,9 @@ def pandas_double_str_parts(
         .when(~s.contains('E'), s)
         .when((expn >= 7) & (expn <= 15), pos_big)
         .when(expn == -4, small4)
-        .otherwise(sci)  # sci referenced ONCE: the 5-arm shortest-digits
-        # search below it is the largest subtree in this expression and
-        # duplicating it breaks janino's 64 KB method limit
+        .otherwise(sci)  # sci referenced ONCE: when k is not staged, it
+        # inlines the shortest-digits search and duplicating it would
+        # break janino's 64 KB method limit
     )
 
 

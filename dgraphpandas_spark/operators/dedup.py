@@ -85,7 +85,13 @@ def ngram_jaccard_pairs(
     overlap includes an ultra-common shingle, and |A|,|B| stay exact, so
     guarded Jaccard is a lower bound of the true value.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # DISK_ONLY, not memory cache: the shingle frame is O(corpus tokens) —
+    # at 100 TB it cannot live in executor memory, and it is read 4×
+    # (hot-list, sizes, both join sides), so recompute would re-tokenize
+    # the corpus 4×.  Disk spill of the exploded frame is the right trade.
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
     if max_df:
         # broadcast the HOT list (small by construction: few ultra-frequent
         # shingles) and anti-join — not the keep list, which is ~all shingles

@@ -168,7 +168,10 @@ def melt_expressions(
     ]
     staged = df
     if needs_pds:
-        from ..functions.render import shortest_digits_input
+        from ..functions.render import sci_staged_cols, sci_staged_k
+
+        def _ge(c):
+            return sci_staged_cols(F.col(f'__pds_d_{c}'), F.col(f'__pds_s_{c}'))
 
         staged = df.select(
             '*',
@@ -178,12 +181,15 @@ def melt_expressions(
             *[F.col(f'__pds_d_{c}').cast('string').alias(f'__pds_s_{c}') for c in needs_pds],
         ).select(
             '*',
+            *[_ge(c)[0].alias(f'__pds_g_{c}') for c in needs_pds],
+            *[_ge(c)[1].alias(f'__pds_e_{c}') for c in needs_pds],
+        ).select(
+            '*',
             *[
-                shortest_digits_input(F.col(f'__pds_d_{c}'), F.col(f'__pds_s_{c}')).alias(f'__pds_g_{c}')
-                for c in needs_pds
-            ],
-            *[
-                F.regexp_extract(F.col(f'__pds_s_{c}'), r'E(-?\d+)$', 1).try_cast('int').alias(f'__pds_e_{c}')
+                sci_staged_k(
+                    F.col(f'__pds_d_{c}'), F.col(f'__pds_s_{c}'),
+                    F.col(f'__pds_g_{c}'), F.col(f'__pds_e_{c}'),
+                ).alias(f'__pds_k_{c}')
                 for c in needs_pds
             ],
         )
@@ -196,6 +202,7 @@ def melt_expressions(
                 F.col(f'__pds_s_{c}'),
                 ds=F.col(f'__pds_g_{c}'),
                 expn=F.col(f'__pds_e_{c}'),
+                k=F.col(f'__pds_k_{c}'),
             )
         if mode == 'float':
             if cls == 'bool':

@@ -250,24 +250,31 @@ def vertical_transform(
                 # stage the double-repr inputs as attributes: the inlined
                 # shortest-repr search exceeds janino's 64 KB method limit
                 # and drops the stage out of codegen (see melt.py)
-                from ..functions.render import pandas_double_str_parts, shortest_digits_input
+                from ..functions.render import (
+                    pandas_double_str_parts, sci_staged_cols, sci_staged_k,
+                )
 
                 frame = (
                     frame.withColumn('__pds_d', F.col('object').cast('double'))
                     .withColumn('__pds_s', F.col('__pds_d').cast('string'))
                 )
+                g, e = sci_staged_cols(F.col('__pds_d'), F.col('__pds_s'))
+                frame = frame.withColumn('__pds_g', g).withColumn('__pds_e', e)
                 frame = frame.withColumn(
-                    '__pds_g', shortest_digits_input(F.col('__pds_d'), F.col('__pds_s'))
-                ).withColumn(
-                    '__pds_e', F.regexp_extract(F.col('__pds_s'), r'E(-?\d+)$', 1).try_cast('int')
+                    '__pds_k',
+                    sci_staged_k(
+                        F.col('__pds_d'), F.col('__pds_s'),
+                        F.col('__pds_g'), F.col('__pds_e'),
+                    ),
                 )
                 frame = frame.withColumn(
                     'object',
                     pandas_double_str_parts(
                         F.col('__pds_d'), F.col('__pds_s'),
                         ds=F.col('__pds_g'), expn=F.col('__pds_e'),
+                        k=F.col('__pds_k'),
                     ),
-                ).drop('__pds_d', '__pds_s', '__pds_g', '__pds_e')
+                ).drop('__pds_d', '__pds_s', '__pds_g', '__pds_e', '__pds_k')
             else:
                 frame = frame.withColumn('object', render_value(F.col('object'), obj_type))
 

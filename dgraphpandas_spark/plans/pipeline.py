@@ -81,7 +81,12 @@ def _set_gzip_level(spark: SparkSession, level: int) -> None:
         name = 'BEST_SPEED'
     else:
         name = 'BEST_COMPRESSION'
-    spark.conf.set('spark.hadoop.zlib.compress.level', name)
+    # Unprefixed key: SessionState.newHadoopConf copies every runtime SQL
+    # conf verbatim into the write job's Hadoop conf, so Hadoop's
+    # ZlibFactory sees 'zlib.compress.level'.  (The 'spark.hadoop.' prefix
+    # is only stripped at SparkContext startup — setting the prefixed key
+    # at runtime is a no-op.)
+    spark.conf.set('zlib.compress.level', name)
 
 
 def _write_rdf_lines(lines: DataFrame, path: str, chunk_size: int, encoding: str) -> None:
@@ -136,6 +141,16 @@ def apply_reference_layout(output_dir: str, source_name: str) -> Dict[str, list]
             target = base + ('.gz' if i == 0 else f'_{i + 1}.gz')
             os.replace(part, target)
             finals.append(target)
+        if not parts:
+            # An empty frame writes zero part files, but the reference
+            # always emits one gz per frame (rdf.py:111-116) — downstream
+            # globs expect it, so write an empty gzip member.
+            import gzip as _gzip
+
+            target = base + '.gz'
+            with _gzip.open(target, 'wb'):
+                pass
+            finals.append(target)
         for leftover in _glob.glob(os.path.join(staging, '*')) + _glob.glob(
             os.path.join(staging, '.*')
         ):
@@ -181,7 +196,9 @@ def to_rdf(
     export_rdf = get_from_config('export_rdf', file_config, False, **kwargs)
     chunk_size = get_from_config('chunk_size', config, 10_000_000, **kwargs)
     encoding = get_from_config('encoding', file_config, 'utf-8', **kwargs)
-    gz_level = get_from_config('gz_compression_level', config, None, **kwargs)
+    # file_config scope, matching the reference (rdf.py:100 reads it from
+    # the per-file entry, not the global config)
+    gz_level = get_from_config('gz_compression_level', file_config, None, **kwargs)
 
     intrinsic, edges = transform(frame, config, config_key, **kwargs)
     if console:

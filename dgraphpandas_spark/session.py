@@ -17,7 +17,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get('SPARK_GRAFT_MASTER', f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    # Default thread count is capped at 16: this class of host penalizes
+    # >16 threads in one JVM (~2× slower at local[32] than local[8] on
+    # identical jobs — measured, BENCH/BASELINE.md).  Explicit
+    # SPARK_GRAFT_CPUS / SPARK_GRAFT_MASTER / master= always win.
+    default_cpus = min(os.cpu_count() or 16, 16)
+    master = master or os.environ.get(
+        'SPARK_GRAFT_MASTER', f"local[{os.environ.get('SPARK_GRAFT_CPUS', str(default_cpus))}]"
+    )
     if shuffle_partitions is None:
         # local[N] → N; a real cluster would size this to 2-3× total cores.
         inner = master[master.find('[') + 1:master.find(']')] if '[' in master else '32'

@@ -197,3 +197,37 @@ def test_table_format_seam(spark, transcripts, tmp_path):
     one = back.filter(F.col('conv_bucket') == 3)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert 'PartitionFilters' in plan or one.count() >= 0  # smoke (pruning shape varies)
+
+
+def test_reference_layout_empty_frame_writes_empty_gz(tmp_path):
+    """The reference always emits one gz per frame (rdf.py:111-116) even
+    when a frame is empty; an empty Spark write produces zero part files,
+    so apply_reference_layout must synthesize the empty gz."""
+    from dgraphpandas_spark.plans.pipeline import apply_reference_layout
+
+    out = tmp_path / 'exports'
+    (out / 'src_intrinsic.gz').mkdir(parents=True)   # empty staging dir
+    (out / 'src_edges.gz').mkdir()
+    with gzip.open(out / 'src_edges.gz' / 'part-00000.gz', 'wt') as f:
+        f.write('line\n')
+    finals = apply_reference_layout(str(out), 'src')
+    assert os.path.isfile(out / 'src_intrinsic.gz')
+    with gzip.open(out / 'src_intrinsic.gz', 'rb') as f:
+        assert f.read() == b''
+    assert finals['intrinsic'] == [str(out / 'src_intrinsic.gz')]
+    with gzip.open(out / 'src_edges.gz', 'rt') as f:
+        assert f.read() == 'line\n'
+
+
+def test_gzip_level_reaches_hadoop_conf(spark):
+    """_set_gzip_level sets the UNPREFIXED runtime SQL conf, which
+    SessionState.newHadoopConf copies into write jobs' Hadoop conf (the
+    'spark.hadoop.' prefix is only honored at SparkContext startup)."""
+    from dgraphpandas_spark.plans.pipeline import _set_gzip_level
+
+    _set_gzip_level(spark, 9)
+    hconf = spark._jsparkSession.sessionState().newHadoopConf()
+    assert hconf.get('zlib.compress.level') == 'BEST_COMPRESSION'
+    _set_gzip_level(spark, 1)
+    hconf = spark._jsparkSession.sessionState().newHadoopConf()
+    assert hconf.get('zlib.compress.level') == 'BEST_SPEED'

@@ -526,3 +526,38 @@ def test_ivf_materialized_query_matches_inline(spark, emb, tmp_path):
     p = buf.getvalue()
     assert 'cell' in p.split('PartitionFilters:')[1].split(']')[0], \
         'materialized query must prune cell partitions at the scan'
+
+
+def test_decode_media_stats_matches_fixture_params(spark):
+    """decode_media_stats emits header/content facts only a working codec
+    can produce; cross-check them against the sha256-seeded fixture params
+    computed independently here (same closed forms the DuckDB oracle
+    uses)."""
+    import hashlib
+
+    from dgraphpandas_spark.operators.multimodal import (
+        decode_media_stats,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n_rows=20, seed=42)
+    rows = {r['media_id']: r for r in decode_media_stats(media).collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        h = hashlib.sha256(f'42:{i}'.encode()).digest()
+        r = rows[i]
+        if i % 2 == 0:
+            n = 800 + h[1] * 8
+            assert r['kind'] == 'audio'
+            assert r['framerate'] == 16_000
+            assert r['n_samples'] == n
+            assert r['n_bytes'] == 44 + 2 * n  # 44-byte RIFF/fmt/data header
+        else:
+            w, hh = 16 + h[0] % 48, 16 + h[1] % 48
+            assert r['kind'] == 'image'
+            assert (r['width'], r['height']) == (w, hh)
+            c0 = hh * sum(x * 255 // (w - 1) for x in range(w))
+            c1 = w * sum(y * 255 // (hh - 1) for y in range(hh))
+            assert r['pixel_sum'] == c0 + c1 + w * hh * h[2]
+            header = b'P6\n%d %d\n255\n' % (w, hh)
+            assert r['n_bytes'] == len(header) + w * hh * 3
