@@ -673,6 +673,66 @@ def q_stream_stateful_multibatch(spark, sf_dir):
     )
 
 
+def q_stream_replay_dedup(spark, sf_dir):
+    """Bounded-state exactly-once ingestion under source replays
+    (``dropDuplicatesWithinWatermark``): batch 1 delivers every turn, batch
+    2 replays a third of them verbatim (``maxFilesPerTrigger=1`` forces the
+    two micro-batches).  The lateness horizon covers the whole ts span, so
+    every replayed key still has live dedup state when its duplicate
+    arrives — the sink must hold exactly the distinct turn set; without
+    cross-batch state the replays would re-emit and the row count would
+    exceed it."""
+    import os
+    import tempfile
+
+    from dgraphpandas_spark.streaming.stream import dedup_replayed_turns
+
+    tmp = tempfile.mkdtemp(prefix='stream_rd_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    ev = _t(spark, sf_dir, 'events')
+    turns = ev.select(
+        F.concat(F.lit('u'), F.col('user_id')).alias('conv_id'),
+        F.col('event_id').cast('int').alias('turn_idx'),
+        'ts',
+    )
+    turns.coalesce(1).write.mode('append').parquet(indir)
+    turns.filter(F.col('turn_idx') % 3 == 0).coalesce(1).write.mode('append').parquet(indir)
+    stream = (
+        spark.readStream.schema('conv_id string, turn_idx int, ts timestamp')
+        .option('maxFilesPerTrigger', 1)
+        .parquet(indir)
+    )
+    out = dedup_replayed_turns(stream, lateness='3650 days').select(
+        'conv_id', 'turn_idx', F.unix_micros('ts').alias('ts_us')
+    )
+    name = 'stream_rd_' + os.path.basename(tmp).replace('stream_rd_', '')
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode('append')
+        .format('memory')
+        .queryName(name)
+        .option('checkpointLocation', os.path.join(tmp, 'ck'))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_ann_ivf_materialized_topk(spark, sf_dir):
+    """The on-disk inverted file end-to-end: materialize (write partitioned
+    by cell), then query via partition-pruned scan — must return exactly
+    the inline ivf_topk result (the oracle is the same SQL)."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, 'embeddings')
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    path = os.path.join(tempfile.mkdtemp(prefix='ivf_mat_'), 'ivf')
+    cents = SS.ivf_materialize(emb, path, n_cells=8, dim=64, seed=7)
+    return SS.ivf_query_materialized(spark, path, cents, qvec, k=10, nprobe=2)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of every approximate index vs the exact brute-force top-10
     for the same query vector — the accuracy half of the ANN
@@ -755,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
+        'stream_replay_dedup': q_stream_replay_dedup,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -769,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_histogram': q_ann_ivf_histogram,
         'ann_ivf_topk': q_ann_ivf_topk,
         'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
+        'ann_ivf_materialized_topk': q_ann_ivf_materialized_topk,
         'ann_recall': q_ann_recall,
         'emb_neardup_lsh': q_emb_neardup_lsh,
         'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
@@ -1240,6 +1302,14 @@ SELECT 'u' || user_id AS conv_id,
 FROM events GROUP BY 1
 """
 
+    # Replay dedup: the stream ingests every turn plus a replayed third;
+    # bounded per-key state must absorb the replays, leaving the distinct
+    # turn set (events keys are unique, so distinct = the events table).
+    sql['stream_replay_dedup'] = """
+SELECT 'u' || user_id AS conv_id, event_id::int AS turn_idx, epoch_us(ts) AS ts_us
+FROM events
+"""
+
     norm = _NORM.format(col='text')
     sql['dedup_exact'] = f"""
 WITH {_docs_dups_cte()}
@@ -1367,6 +1437,9 @@ WHERE {_ivf_cell_sql('e.v')} IN (SELECT cell FROM probes)
 ORDER BY score DESC, e.vec_id
 LIMIT 10
 """
+
+    # Materialized inverted file must return exactly the inline result.
+    sql['ann_ivf_materialized_topk'] = sql['ann_ivf_topk']
 
     sql['ann_ivf_trained_topk'] = _trained_ivf_sql(n_cells=8, iters=2, nprobe=2, k=10, dim=64)
 
