@@ -83,8 +83,15 @@ def _expand_csv_edges(frame: DataFrame, csv_edges: List[str], seperator: str = '
         F.array(F.col('object'))
     )
     frame = frame.withColumn('object', F.explode_outer(arr))
+    # Python str.strip() parity, NOT F.trim: pandas ``.str.strip()``
+    # (vertical_helpers.py:34) strips every char with str.isspace() —
+    # \t\n\v\f\r, the ASCII file/group/record/unit separators, NEL, NBSP
+    # and the unicode space block — while Spark's trim removes ' ' only.
+    # (Fuzz-found: '1 \n' must strip to '1', not scrub to '1 '.)
+    py_ws = '[\\t-\\r \\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+'
+    stripped = F.regexp_replace(F.col('object'), f'^{py_ws}|{py_ws}$', '')
     frame = frame.withColumn(
-        'object', F.when(is_csv, F.trim(F.col('object'))).otherwise(F.col('object'))
+        'object', F.when(is_csv, stripped).otherwise(F.col('object'))
     )
     return frame.filter(~(is_csv & F.col('object').isNull()))
 

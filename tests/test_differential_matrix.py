@@ -132,6 +132,20 @@ MATRIX = [
         {},
     ),
     (
+        # Fuzz-found: pandas .str.strip() removes ALL Python whitespace
+        # (\n\t NBSP...), Spark's trim only ' ' — values like '1 \n' must
+        # strip to '1', not survive to the scrub as '1 '.
+        'csv_edges_python_whitespace_strip',
+        ['customer_id', 'orders'],
+        [(1, 'o1 \n,\to2, o3\xa0'), (2, ' o4\t\n')],
+        _files({
+            'subject_fields': ['customer_id'],
+            'csv_edges': ['orders'],
+            'edge_fields': ['orders'],
+        }),
+        {},
+    ),
+    (
         'csv_edges_custom_sep',
         ['customer_id', 'orders'],
         [(1, 'o1|o2| o3'), (2, 'o4')],
