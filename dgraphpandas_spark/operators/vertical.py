@@ -119,8 +119,14 @@ def subject_expr(
 
 
 def _scrub_expr(col: Column, characters: List[str]) -> Column:
-    """C7 — alternation regex removal; parity: vertical_helpers.py:168-198."""
-    return F.regexp_replace(col, '|'.join(characters), '')
+    """C7 — alternation regex removal; parity: vertical_helpers.py:168-198.
+
+    ``(?U)`` (UNICODE_CHARACTER_CLASS): the reference compiles the pattern
+    with Python ``re``, whose ``\\s``/``\\w``/``\\d`` are Unicode-aware by
+    default (``\\s`` strips NBSP etc.), while Java's default classes are
+    ASCII-only — the flag aligns Java with Python's semantics for the
+    default and any user-supplied character patterns."""
+    return F.regexp_replace(col, '(?U)' + '|'.join(characters), '')
 
 
 def _empty_triples(frame: DataFrame) -> DataFrame:

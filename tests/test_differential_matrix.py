@@ -132,6 +132,16 @@ MATRIX = [
         {},
     ),
     (
+        # Python re \s is Unicode-aware (strips NBSP etc.); Java's default
+        # is ASCII-only — the scrub must run with (?U) to match the
+        # reference on subjects containing unicode whitespace.
+        'subject_scrub_unicode_whitespace',
+        ['customer_id', 'tag', 'age'],
+        [('a\xa0b', 'x', 30), ('c\td', 'y', 31)],
+        _files({'subject_fields': ['customer_id']}),
+        {},
+    ),
+    (
         # Fuzz-found: pandas .str.strip() removes ALL Python whitespace
         # (\n\t NBSP...), Spark's trim only ' ' — values like '1 \n' must
         # strip to '1', not survive to the scrub as '1 '.

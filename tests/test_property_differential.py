@@ -19,9 +19,11 @@ from hypothesis import strategies as st
 # deep-fuzz knob: HYPOTHESIS_MAX_EXAMPLES=200 python -m pytest ...
 _EXAMPLES = int(os.environ.get('HYPOTHESIS_MAX_EXAMPLES', '25'))
 
-# text alphabet deliberately includes the scrub characters and separators
+# text alphabet deliberately includes the scrub characters, separators,
+# and non-trivial Python whitespace (\t, NBSP — pandas .str.strip() strips
+# them, Spark's trim does not; fuzz-found round 3)
 _TEXT = st.text(
-    alphabet='abxyz %."\n_,:123',
+    alphabet='abxyz %."\n_,:123\t\xa0',
     min_size=0,
     max_size=12,
 )
