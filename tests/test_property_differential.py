@@ -38,12 +38,23 @@ def table_and_config(draw):
     # 1-3 extra columns of assorted types
     col_specs = draw(
         st.lists(
-            st.sampled_from(['str', 'int', 'float', 'nullable_str']),
+            st.sampled_from(['str', 'int', 'float', 'nullable_str', 'datetime']),
             min_size=1,
             max_size=3,
         )
     )
     names = ['name', 'score', 'loc_id', 'note'][: len(col_specs)]
+    # ISO-ish strings parsed via date_fields on both engines (C2/C3);
+    # explicit 'datetime64[ns]' override dodges the reference's pandas-2
+    # bare-'datetime64' auto-override crash, and each COLUMN sticks to one
+    # fractional style — pandas 2's strptime fallback raises on mixed
+    # formats within a column (SURVEY §5 landmines)
+    _DT_POOLS = [
+        ['2026-01-01 10:00:00', '2026-03-05 07:08:09', '1999-12-31 23:59:59'],
+        ['2026-01-02 23:59:59.123456', '1999-12-31 00:00:00.000001',
+         '2026-03-05 07:08:09.500000'],
+    ]
+    dt_cols = []
     for cname, kind in zip(names, col_specs):
         if kind == 'str':
             data[cname] = [draw(_TEXT) for _ in range(n)]
@@ -54,13 +65,22 @@ def table_and_config(draw):
                 round(draw(st.floats(-100, 100, allow_nan=False, allow_infinity=False)), 3)
                 for _ in range(n)
             ]
+        elif kind == 'datetime':
+            pool = draw(st.sampled_from(_DT_POOLS))
+            # first value non-null (Spark type inference on the raw string col)
+            data[cname] = [draw(st.sampled_from(pool))] + [
+                draw(st.sampled_from(pool + [None])) for _ in range(n - 1)
+            ]
+            dt_cols.append(cname)
         else:
             # first value non-null so Spark can infer the column type
             data[cname] = [draw(_TEXT)] + [
                 draw(st.one_of(st.none(), _TEXT)) for _ in range(n - 1)
             ]
 
-    candidates = [c for c in names if c != 'id']
+    # datetime cols stay intrinsic-only: edge/ignore/csv interplay with
+    # datetimes trips pandas-2 reference warts rather than real semantics
+    candidates = [c for c in names if c != 'id' and c not in dt_cols]
     edge_fields = draw(st.lists(st.sampled_from(candidates), max_size=1, unique=True)) if candidates else []
     ignore = [c for c in draw(st.lists(st.sampled_from(candidates), max_size=1, unique=True))
               if c not in edge_fields] if candidates else []
@@ -70,6 +90,9 @@ def table_and_config(draw):
         **({'edge_fields': edge_fields} if edge_fields else {}),
         **({'ignore_fields': ignore} if ignore else {}),
     }
+    if dt_cols:
+        file_config['date_fields'] = {c: {} for c in dt_cols}
+        file_config['type_overrides'] = {c: 'datetime64[ns]' for c in dt_cols}
 
     # csv_edges on a string column: comma-packed objects explode into edges
     str_cols = [c for c, k in zip(names, col_specs) if k == 'str' and c not in ignore]
@@ -79,7 +102,7 @@ def table_and_config(draw):
     # type_overrides on an int column (lexical form '7' not '7.0')
     int_cols = [c for c, k in zip(names, col_specs) if k == 'int']
     if int_cols and draw(st.booleans()):
-        file_config['type_overrides'] = {int_cols[0]: 'int32'}
+        file_config.setdefault('type_overrides', {})[int_cols[0]] = 'int32'
 
     # pre_rename of one non-subject column
     if candidates and draw(st.booleans()):
