@@ -597,13 +597,14 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_kg_salted_dedup(spark, sf_dir):
-    """Salted two-phase triple dedup (``dedup_triples(salt_buckets=8)``,
+    """Salted triple dedup (``dedup_triples(salt_buckets=8)``,
     operators/canonicalize.py) over a deliberately skewed triple set: ~90%
-    of event rows collapse onto one hot subject, the aggregation-skew case
-    AQE cannot split (AQE skew handling covers joins, not a single hot
-    group).  Phase 1 dedups within (tuple, salt) so the hot key spreads
-    over 8 reducers; phase 2 dedups the survivors.  Oracle: plain SELECT
-    DISTINCT of the same triple expressions."""
+    of event rows collapse onto one hot subject.  Catalyst collapses the
+    declared two-phase form into the single partial→final aggregate —
+    which is already the skew-safe plan, since map-side partial combine
+    absorbs the hot key's duplicates per task (physical shape pinned by
+    tests/test_plan_evidence.py).  Oracle: plain SELECT DISTINCT of the
+    same triple expressions."""
     from dgraphpandas_spark.operators.canonicalize import dedup_triples
 
     ev = _t(spark, sf_dir, 'events')

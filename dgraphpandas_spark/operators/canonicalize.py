@@ -7,8 +7,9 @@ Three pieces:
 
 1. **Salted dedup** of entity xids: triple-level ``dropDuplicates`` runs as
    a two-phase hash aggregate (map-side partial → final), so hot
-   conversations never concentrate on one reducer.  For *extremely* skewed
-   keys an explicit salt column forces an extra pre-aggregation round.
+   conversations never concentrate on one reducer.  The explicit
+   ``salt_buckets`` form is provably equivalent — Catalyst removes the
+   salt phase as redundant (see ``dedup_triples``).
 2. **Broadcast dictionary linking**: edge objects (e.g. raw tool names) are
    joined against a small canonical dictionary with ``F.broadcast`` — a
    map-side hash join, zero shuffle of the big side.
@@ -17,8 +18,9 @@ Three pieces:
 
 Skew strategy at 10^12-turn scale: AQE skew-join splitting
 (``spark.sql.adaptive.skewJoin.enabled``, on in session.py) handles join
-skew at runtime; explicit salting here covers the aggregation path, where
-AQE cannot split a single hot group.
+skew at runtime; exact-dedup aggregation skew is neutralized by map-side
+partial combine (PLANS.md §5b); explicit salting remains for
+payload-carrying hot groups and aggregated-child joins AQE can't split.
 """
 from __future__ import annotations
 
@@ -35,9 +37,19 @@ def dedup_triples(triples: DataFrame, salt_buckets: Optional[int] = None) -> Dat
 
     Plain ``dropDuplicates`` already executes as partial+final hash
     aggregate (map-side combine absorbs hot subjects).  With
-    ``salt_buckets``, an explicit two-phase variant: first dedup within
-    (key, salt) — salt derived deterministically from the full tuple hash,
-    no randomness — then dedup the (much smaller) survivors globally.
+    ``salt_buckets``, an explicit two-phase variant is declared: first
+    dedup within (key, salt) — salt derived deterministically from the
+    full tuple hash, no randomness — then dedup the survivors globally.
+
+    Physical truth (pinned by tests/test_plan_evidence.py): Catalyst's
+    ``RemoveRedundantAggregates`` PROVES the salt phase redundant and
+    collapses both forms to the identical single partial→exchange→final
+    aggregate — and that plan is already the skew-safe shape, because the
+    map-side partial aggregate collapses a hot key's duplicates to one row
+    per task before the shuffle (the reducer for a hot key receives at
+    most n_tasks rows).  The parameter is kept for API portability to
+    engines without map-side combine; on Spark, explicit salting is for
+    JOIN skew (AQE skew-join, PLANS.md §5b), not exact dedup.
     """
     if not salt_buckets:
         return triples.dropDuplicates(TRIPLE_COLUMNS)

@@ -70,3 +70,30 @@ def test_ivf_inverted_file_partition_pruning(spark, tmp_path):
     assert 'cell' in seg, 'cell filter must prune partitions at the scan'
     # and it actually prunes: only the probed cells' rows are read
     assert probe.select('cell').distinct().count() <= 2
+
+
+def test_salted_dedup_collapses_to_skew_safe_aggregate(spark):
+    """Catalyst's RemoveRedundantAggregates proves the explicit salt phase
+    of dedup_triples(salt_buckets=8) redundant: BOTH variants compile to
+    the identical single partial→exchange→final hash aggregate — which is
+    already skew-safe, since the map-side partial collapses a hot key's
+    duplicates to one row per task before the shuffle (see the operator
+    docstring).  This pins the physical truth so the claim stays honest."""
+    from dgraphpandas_spark.operators.canonicalize import dedup_triples
+
+    triples = spark.range(1000).select(
+        F.lit('hot').alias('subject'),
+        F.lit('p').alias('predicate'),
+        (F.col('id') % 5).cast('string').alias('object'),
+        F.lit('<xs:string>').alias('type'),
+    )
+    p_salted = _plan(dedup_triples(triples, salt_buckets=8))
+    p_plain = _plan(dedup_triples(triples))
+    for p in (p_salted, p_plain):
+        exchanges = [seg.splitlines()[0] for seg in p.split('Exchange hashpartitioning(')[1:]]
+        assert len(exchanges) == 1, f'expected 1 shuffle, got {len(exchanges)}'
+        assert '_salt' not in exchanges[0], 'optimizer must have removed the salt phase'
+        # partial aggregate BELOW the exchange = the map-side combine that
+        # neutralizes hot-key skew
+        assert p.split('Exchange hashpartitioning(')[1].count('HashAggregate') >= 1
+    assert '_salt' not in p_salted.split('== Physical Plan ==')[1]

@@ -121,6 +121,11 @@ def table_and_config(draw):
         'key_separator': draw(st.sampled_from(['_', '::'])),
         'add_dgraph_type_records': draw(st.booleans()),
         'strip_id_from_edge_names': draw(st.booleans()),
+        # ~1 in 4 examples run the Arrow mapInPandas melt (U5) so the
+        # parity strategy is fuzzed too, not just matrix-pinned
+        'melt_strategy': draw(
+            st.sampled_from(['expressions', 'expressions', 'expressions', 'arrow'])
+        ),
     }
     return pd.DataFrame(data), config
 
