@@ -97,3 +97,27 @@ def test_salted_dedup_collapses_to_skew_safe_aggregate(spark):
         # neutralizes hot-key skew
         assert p.split('Exchange hashpartitioning(')[1].count('HashAggregate') >= 1
     assert '_salt' not in p_salted.split('== Physical Plan ==')[1]
+
+
+def test_minhash_signatures_stay_hash_aggregated(spark):
+    """Numeric (LONG) min-hash signatures keep every aggregate a
+    HashAggregate with map-side combine; string/binary mins would fall
+    back to SortAggregate (sort+spill per group) — PLANS.md §3 claim."""
+    from dgraphpandas_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet').select('doc_id', 'text')
+    p = _plan(minhash_lsh_candidates(docs, n=3, bands=4))
+    phys = p.split('== Physical Plan ==')[1]
+    assert 'SortAggregate' not in phys, 'signature path must stay HashAggregate'
+    assert 'HashAggregate' in phys
+
+
+def test_entity_linking_broadcasts_the_dictionary(spark):
+    """link_entities joins the triple stream against the canonical
+    dictionary via BroadcastHashJoin — the big side is never shuffled."""
+    import __spark_entry__ as e
+
+    p = _plan(e.q_kg_link_entities(spark, SF_DIR))
+    phys = p.split('== Physical Plan ==')[1]
+    assert 'BroadcastHashJoin' in phys
+    assert 'SortMergeJoin' not in phys
