@@ -674,6 +674,61 @@ def q_stream_stateful_multibatch(spark, sf_dir):
     )
 
 
+def q_stream_kg_triples(spark, sf_dir):
+    """The north-star streaming ELT path end-to-end: transcript-shaped
+    turns (mapped from events) streamed in TWO forced micro-batches
+    through ``stream_triples`` — the same pure-expression melt+refine
+    chain lifted to a stream, ``assume_unique_subjects`` forced so
+    dgraph.type rows emit statelessly — drained AvailableNow into a
+    memory sink.  A stateless streaming transform is batch-equivalent by
+    contract; the oracle is the batch SQL over the same rows."""
+    import os
+    import tempfile
+
+    from dgraphpandas_spark.streaming.stream import stream_transcripts, stream_triples
+
+    tmp = tempfile.mkdtemp(prefix='stream_kg_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    ev = _t(spark, sf_dir, 'events')
+    turns = ev.select(
+        F.concat(F.lit('u'), F.col('user_id')).alias('conv_id'),
+        F.col('event_id').cast('int').alias('turn_idx'),
+        F.col('event_type').alias('role'),
+        F.col('props').alias('text'),
+        F.when(F.col('event_type') != 'click', F.col('event_type')).alias('tool'),
+        'ts',
+    )
+    for par in (0, 1):
+        turns.filter(F.col('turn_idx') % 2 == par).coalesce(1).write.mode('append').parquet(indir)
+    stream = stream_transcripts(spark, indir, max_files_per_trigger=1)
+    config = {
+        'transform': 'horizontal',
+        'files': {
+            'turn': {
+                'subject_fields': ['conv_id', 'turn_idx'],
+                'edge_fields': ['tool'],
+                'type_overrides': {'ts': 'datetime64[ns]'},
+                'date_fields': {'ts': {}},
+            }
+        },
+    }
+    out = stream_triples(stream, config, 'turn').withColumn(
+        'is_edge', F.col('is_edge').cast('int')
+    )
+    name = 'stream_kg_' + os.path.basename(tmp).replace('stream_kg_', '')
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode('append')
+        .format('memory')
+        .queryName(name)
+        .option('checkpointLocation', os.path.join(tmp, 'ck'))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_replay_dedup(spark, sf_dir):
     """Bounded-state exactly-once ingestion under source replays
     (``dropDuplicatesWithinWatermark``): batch 1 delivers every turn, batch
@@ -817,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
         'stream_replay_dedup': q_stream_replay_dedup,
+        'stream_kg_triples': q_stream_kg_triples,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -1301,6 +1357,28 @@ SELECT 'u' || user_id AS conv_id,
        max(event_id)::int AS max_turn_idx,
        count(DISTINCT event_id % 2) AS n_updates
 FROM events GROUP BY 1
+"""
+
+    # Streaming triple extraction is batch-equivalent (stateless transform,
+    # unique subjects → dgraph.type rows per input row, no distinct).
+    full_scrub = r"""regexp_replace({col}, '%|\.|\s|"|\n|\r\n', '', 'g')"""
+    sql['stream_kg_triples'] = f"""
+WITH base AS (
+  SELECT 'u' || user_id AS conv, event_id AS idx, event_type AS role, props,
+         CASE WHEN event_type != 'click' THEN event_type END AS tool, ts
+  FROM events
+)
+SELECT 'turn_' || conv || '_' || idx AS subject, 'role' AS predicate,
+       {scrub.format(col='role')} AS object, '<xs:string>' AS type, 0 AS is_edge FROM base
+UNION ALL
+SELECT 'turn_' || conv || '_' || idx, 'text', {scrub.format(col='props')}, '<xs:string>', 0 FROM base
+UNION ALL
+SELECT 'turn_' || conv || '_' || idx, 'ts', {iso_ts}, '<xs:dateTime>', 0 FROM base
+UNION ALL
+SELECT 'turn_' || conv || '_' || idx, 'dgraph.type', 'turn', '<xs:string>', 0 FROM base
+UNION ALL
+SELECT 'turn_' || conv || '_' || idx, 'tool', 'tool_' || {full_scrub.format(col='tool')},
+       CAST(NULL AS VARCHAR), 1 FROM base WHERE tool IS NOT NULL
 """
 
     # Replay dedup: the stream ingests every turn plus a replayed third;
