@@ -674,6 +674,24 @@ def q_stream_stateful_multibatch(spark, sf_dir):
     )
 
 
+def q_kg_graph_completion(spark, sf_dir):
+    """Graph completion (north_star canonicalization): conversation nodes
+    from a distinct over conv_id (key-only pre-aggregated shuffle) and
+    tool entity nodes from the distinct qualified tool xids —
+    `operators/canonicalize.py:conversation_nodes/tool_nodes`."""
+    from dgraphpandas_spark.operators.canonicalize import conversation_nodes, tool_nodes
+
+    ev = _t(spark, sf_dir, 'events')
+    turns = ev.select(F.concat(F.lit('u'), F.col('user_id')).alias('conv_id'))
+    edges = ev.filter(F.col('event_type') != 'click').select(
+        F.concat(F.lit('turn_u'), F.col('user_id'), F.lit('_'), F.col('event_id')).alias('subject'),
+        F.lit('tool').alias('predicate'),
+        F.concat(F.lit('tool_'), F.col('event_type')).alias('object'),
+        F.lit(None).cast('string').alias('type'),
+    )
+    return conversation_nodes(turns).unionByName(tool_nodes(edges))
+
+
 def q_stream_kg_triples(spark, sf_dir):
     """The north-star streaming ELT path end-to-end: transcript-shaped
     turns (mapped from events) streamed in TWO forced micro-batches
@@ -868,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_callable_config': q_kg_callable_config,
         'kg_edge_id_convention': q_kg_edge_id_convention,
         'kg_salted_dedup': q_kg_salted_dedup,
+        'kg_graph_completion': q_kg_graph_completion,
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
@@ -1357,6 +1376,15 @@ SELECT 'u' || user_id AS conv_id,
        max(event_id)::int AS max_turn_idx,
        count(DISTINCT event_id % 2) AS n_updates
 FROM events GROUP BY 1
+"""
+
+    sql['kg_graph_completion'] = """
+SELECT 'conversation_u' || user_id AS subject, 'dgraph.type' AS predicate,
+       'conversation' AS object, '<xs:string>' AS type
+FROM (SELECT DISTINCT user_id FROM events)
+UNION ALL
+SELECT DISTINCT 'tool_' || event_type, 'dgraph.type', 'tool', '<xs:string>'
+FROM events WHERE event_type != 'click'
 """
 
     # Streaming triple extraction is batch-equivalent (stateless transform,
