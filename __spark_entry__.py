@@ -478,6 +478,34 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (98/1/1): membership
+    is a pure function of doc_id — stable under re-runs, repartitioning
+    and appends, unlike DataFrame.sample.  Zero-shuffle projection."""
+    from dgraphpandas_spark.operators.curation import split_corpus
+
+    d = _t(spark, sf_dir, 'documents')
+    return (
+        split_corpus(d, id_col='doc_id')
+        .groupBy('split')
+        .agg(F.count('*').alias('n_docs'))
+    )
+
+
+def q_corpus_pack(spark, sf_dir):
+    """Sequence packing for pretraining: concat-then-chunk offset packing
+    into 512-token bins, parallel across 8 md5 shards (one exchange on
+    shard, running-sum window within)."""
+    from dgraphpandas_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, 'documents')
+    packed = pack_sequences(d, capacity=512, n_shards=8)
+    return packed.groupBy('shard', 'pack_id').agg(
+        F.count('*').alias('n_docs'),
+        F.sum('n_tokens').alias('pack_tokens'),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, 'documents'), bits=16)
 
@@ -898,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_clusters': q_dedup_clusters,
         'dedup_simhash': q_dedup_simhash,
         'corpus_curation': q_corpus_curation,
+        'corpus_split': q_corpus_split,
+        'corpus_pack': q_corpus_pack,
         'text_stats': q_text_stats,
         'text_winnow_fingerprints': q_text_winnow_fingerprints,
         'events_json_props': q_events_json_props,
@@ -1458,6 +1488,32 @@ scored AS (SELECT doc_id, text, {_quality_sql()} AS quality,
 SELECT s.doc_id, s.quality, s.lang_pred
 FROM scored s JOIN labels l ON l.id = s.doc_id
 WHERE l.id = l.cluster_id
+"""
+
+    # md5-bucket split/pack mirrors operators/curation.py _id_bucket:
+    # first 8 hex digits of md5(id) as unsigned int, mod n
+    _BKT = "('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % {n}"
+    sql['corpus_split'] = f"""
+WITH b AS (SELECT doc_id, {_BKT.format(n=100)} AS bk FROM documents)
+SELECT CASE WHEN bk < 98 THEN 'train' WHEN bk < 99 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1
+"""
+
+    toks_pack = _TOKS.format(col='text')
+    sql['corpus_pack'] = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({toks_pack}) END::bigint AS n_tokens,
+                  {_BKT.format(n=8)} AS shard
+           FROM documents),
+o AS (SELECT shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM t)
+SELECT shard, start_offset // 512 AS pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM o GROUP BY 1, 2
 """
 
     toks = _TOKS.format(col='text')

@@ -16,13 +16,94 @@ final keep-join is an equi-join on doc id (AQE handles skew).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Dict, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id, quality_score
+from ..functions.text import lang_id, quality_score, token_count
 from .dedup import dedup_clusters
+
+
+def _id_bucket(col: Column, n: int) -> Column:
+    """Deterministic, engine-portable id→bucket: first 8 hex digits of
+    md5(id) mod n.  md5 (not xxhash64) so any SQL engine can reproduce
+    the assignment byte-for-byte (DuckDB oracle, downstream auditors);
+    the per-row cost is noise next to scan IO, and swapping in xxhash64
+    is a one-line change if provenance tooling ever allows it."""
+    return F.conv(F.substring(F.md5(col.cast('string')), 1, 8), 16, 10).cast('long') % n
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    weights: Dict[str, int] = None,
+    salt: str = '',
+) -> DataFrame:
+    """Deterministic hash-based corpus split (train/val/test) — the
+    sampling primitive a resumable 100-TB pipeline needs.
+
+    Membership is a pure function of the document id (+ optional salt):
+    stable under re-runs, repartitioning, executor count, and incremental
+    appends — every property ``DataFrame.sample`` lacks (it is
+    partition-order-sensitive and re-draws on retry).  Zero shuffle: one
+    projection, fused into the scan.
+
+    ``weights``: integer percents summing to 100, in insertion order
+    (default ``{'train': 98, 'val': 1, 'test': 1}``).
+    """
+    weights = weights or {'train': 98, 'val': 1, 'test': 1}
+    if sum(weights.values()) != 100:
+        raise ValueError(f'weights must sum to 100, got {weights}')
+    bucket = _id_bucket(
+        F.concat(F.col(id_col).cast('string'), F.lit(salt)) if salt else F.col(id_col),
+        100,
+    )
+    expr = None
+    cum = 0
+    for name, w in weights.items():
+        cum += w
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn('split', expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    capacity: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Offset-packing of documents into ~``capacity``-token pretraining
+    bins: documents are concatenated in deterministic id order within a
+    shard and cut every ``capacity`` tokens, so a document belongs to the
+    pack its first token lands in (the standard concat-then-chunk layout;
+    straddling documents are split by the chunker downstream).
+
+    Physical shape: shard = md5-bucket(id) → ONE hash exchange on shard;
+    within a shard a running-sum window (sequential per shard, parallel
+    across shards — n_shards is the parallelism knob, sized so a shard's
+    token stream fits one task).  Output adds (shard, start_offset,
+    pack_id); deterministic, no sampling state.
+    """
+    shard = _id_bucket(F.col(id_col), n_shards)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy('shard')
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), shard.alias('shard'))
+        .withColumn('n_tokens', token_count(F.col(text_col)).cast('long'))
+        .withColumn('start_offset', F.sum('n_tokens').over(w) - F.col('n_tokens'))
+        # integral DIV, not floor(double/...): a shard's token stream can
+        # exceed 2^53 at the 100-TB scale, where double division misbins
+        .withColumn('pack_id', F.expr(f'start_offset DIV {int(capacity)}'))
+        .drop(text_col)
+    )
 
 
 def curate_corpus(

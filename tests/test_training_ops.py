@@ -561,3 +561,51 @@ def test_decode_media_stats_matches_fixture_params(spark):
             assert r['pixel_sum'] == c0 + c1 + w * hh * h[2]
             header = b'P6\n%d %d\n255\n' % (w, hh)
             assert r['n_bytes'] == len(header) + w * hh * 3
+
+
+def test_split_corpus_deterministic_and_weighted(spark, docs):
+    """Hash-split: membership is a pure function of id (identical across
+    calls and repartitions), weights respected, exactly one split per
+    doc."""
+    from dgraphpandas_spark.operators.curation import split_corpus
+
+    a = {r['doc_id']: r['split'] for r in split_corpus(docs).select('doc_id', 'split').collect()}
+    b = {
+        r['doc_id']: r['split']
+        for r in split_corpus(docs.repartition(7)).select('doc_id', 'split').collect()
+    }
+    assert a == b, 'split must not depend on physical layout'
+    assert set(a.values()) <= {'train', 'val', 'test'}
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == 'train') / n
+    assert train_frac > 0.8  # 98% nominal, small-sample slack
+
+    custom = split_corpus(docs, weights={'a': 50, 'b': 50})
+    counts = {r['split']: r['n'] for r in custom.groupBy('split').agg(F.count('*').alias('n')).collect()}
+    assert set(counts) == {'a', 'b'}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_corpus(docs, weights={'a': 60, 'b': 50})
+
+
+def test_pack_sequences_conserves_tokens_and_orders(spark, docs):
+    """Offset packing: per-shard token totals are conserved, offsets are
+    the exclusive prefix sums in id order, pack_id = start//capacity."""
+    from dgraphpandas_spark.operators.curation import pack_sequences
+    from dgraphpandas_spark.functions.text import token_count
+
+    cap = 64
+    packed = pack_sequences(docs, capacity=cap, n_shards=4)
+    rows = packed.orderBy('shard', 'doc_id').collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r['shard'], []).append(r)
+    for shard, rs in by_shard.items():
+        off = 0
+        for r in rs:  # already id-ordered within shard
+            assert r['start_offset'] == off
+            assert r['pack_id'] == off // cap
+            off += r['n_tokens']
+    total = docs.select(F.sum(token_count(F.col('text')))).first()[0]
+    assert sum(r['n_tokens'] for r in rows) == total
