@@ -478,6 +478,17 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_corpus_decontaminate(spark, sf_dir):
+    """Decontamination: every ~97th document plays the eval set; training
+    docs sharing any word 5-gram with it are flagged with hit counts
+    (eval n-grams broadcast — the corpus side never shuffles)."""
+    from dgraphpandas_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, 'documents')
+    ev = d.filter(F.col('doc_id') % 97 == 0)
+    return decontaminate(d, ev, n=5).withColumnRenamed('id', 'doc_id')
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (98/1/1): membership
     is a pure function of doc_id — stable under re-runs, repartitioning
@@ -928,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_curation': q_corpus_curation,
         'corpus_split': q_corpus_split,
         'corpus_pack': q_corpus_pack,
+        'corpus_decontaminate': q_corpus_decontaminate,
         'text_stats': q_text_stats,
         'text_winnow_fingerprints': q_text_winnow_fingerprints,
         'events_json_props': q_events_json_props,
@@ -1498,6 +1510,19 @@ WITH b AS (SELECT doc_id, {_BKT.format(n=100)} AS bk FROM documents)
 SELECT CASE WHEN bk < 98 THEN 'train' WHEN bk < 99 THEN 'val' ELSE 'test' END AS split,
        count(*) AS n_docs
 FROM b GROUP BY 1
+"""
+
+    toks_dc = _TOKS.format(col='text')
+    sql['corpus_decontaminate'] = f"""
+WITH t AS (SELECT doc_id AS id, {toks_dc} AS t FROM documents),
+g AS (SELECT id, u.s FROM t,
+      unnest(CASE WHEN len(t) < 5 THEN []
+             ELSE list_transform(range(1, len(t) - 3),
+                  i -> array_to_string(list_slice(t, i, i + 4), ' ')) END) AS u(s)),
+ev AS (SELECT DISTINCT s FROM g WHERE id % 97 = 0)
+SELECT g.id AS doc_id, count(*) AS n_hits, count(DISTINCT g.s) AS n_distinct_grams
+FROM g JOIN ev USING (s)
+GROUP BY 1
 """
 
     toks_pack = _TOKS.format(col='text')

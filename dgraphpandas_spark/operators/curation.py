@@ -106,6 +106,38 @@ def pack_sequences(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 5,
+) -> DataFrame:
+    """Training/eval decontamination: flag every training document sharing
+    at least one word ``n``-gram with the eval set — the standard overlap
+    test run before pretraining (eval answers leaking into the corpus).
+
+    Scale shape: the eval set is tiny next to a 100-TB corpus, so its
+    DISTINCT n-gram set is broadcast; the training side is a narrow
+    shingle explode (multiset — duplicates are the signal here) into a
+    broadcast hash join, so the corpus never shuffles except the final
+    per-doc aggregation (map-side partial).  Returns one row per
+    contaminated training doc: (id, n_hits, n_distinct_grams).
+    """
+    from .dedup import shingles
+
+    ev = shingles(eval_df, id_col, text_col, n, distinct=True).select('shingle').distinct()
+    tr = shingles(train, id_col, text_col, n, distinct=False)
+    return (
+        tr.join(F.broadcast(ev), 'shingle')
+        .groupBy('id')
+        .agg(
+            F.count('*').alias('n_hits'),
+            F.count_distinct('shingle').alias('n_distinct_grams'),
+        )
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = 'doc_id',

@@ -609,3 +609,32 @@ def test_pack_sequences_conserves_tokens_and_orders(spark, docs):
             off += r['n_tokens']
     total = docs.select(F.sum(token_count(F.col('text')))).first()[0]
     assert sum(r['n_tokens'] for r in rows) == total
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc containing an eval doc's exact phrase is flagged; clean
+    docs are not; the eval side joins in as a broadcast."""
+    from dgraphpandas_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, 'the quick brown fox jumps over the lazy dog tonight'),
+            (2, 'completely unrelated text about spark physical plans here'),
+            (3, 'prefix words then the quick brown fox jumps over the end'),
+        ],
+        'doc_id long, text string',
+    )
+    ev = spark.createDataFrame(
+        [(100, 'the quick brown fox jumps over a fence')], 'doc_id long, text string'
+    )
+    out = decontaminate(train, ev, n=5)
+    rows = {r['id']: r for r in out.collect()}
+    assert set(rows) == {1, 3}, 'exact-phrase overlap must flag docs 1 and 3 only'
+    assert rows[1]['n_hits'] >= 1 and rows[3]['n_distinct_grams'] >= 1
+
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert 'BroadcastHashJoin' in buf.getvalue()
