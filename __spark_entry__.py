@@ -489,6 +489,35 @@ def q_corpus_decontaminate(spark, sf_dir):
     return decontaminate(d, ev, n=5).withColumnRenamed('id', 'doc_id')
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub (curation stage): deterministic emails/SSNs/phones are
+    planted into every document on BOTH engines, then redacted to
+    <KIND> placeholders with per-kind counts and a fingerprint of the
+    redacted text — zero-shuffle codegen expressions."""
+    from dgraphpandas_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, 'documents')
+    planted = d.select(
+        'doc_id',
+        F.concat(
+            F.col('text'),
+            F.lit(' call 555-123-4567 ssn '),
+            F.lpad((F.col('doc_id') % 1000).cast('string'), 3, '0'),
+            F.lit('-45-6789 mail u'),
+            F.col('doc_id').cast('string'),
+            F.lit('@example.com'),
+        ).alias('text'),
+    )
+    counts = pii_counts(F.col('text'))
+    return planted.select(
+        'doc_id',
+        counts['email'].alias('n_email'),
+        counts['ssn'].alias('n_ssn'),
+        counts['phone'].alias('n_phone'),
+        F.md5(redact_pii(F.col('text'))).alias('red_fp'),
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (98/1/1): membership
     is a pure function of doc_id — stable under re-runs, repartitioning
@@ -940,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_split': q_corpus_split,
         'corpus_pack': q_corpus_pack,
         'corpus_decontaminate': q_corpus_decontaminate,
+        'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
         'text_winnow_fingerprints': q_text_winnow_fingerprints,
         'events_json_props': q_events_json_props,
@@ -1510,6 +1540,26 @@ WITH b AS (SELECT doc_id, {_BKT.format(n=100)} AS bk FROM documents)
 SELECT CASE WHEN bk < 98 THEN 'train' WHEN bk < 99 THEN 'val' ELSE 'test' END AS split,
        count(*) AS n_docs
 FROM b GROUP BY 1
+"""
+
+    # PII patterns shared verbatim with functions/text.py PII_PATTERNS
+    # (explicit ASCII classes — identical under Java regex and RE2)
+    _EM = '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'
+    _SSN = '[0-9]{3}-[0-9]{2}-[0-9]{4}'
+    _PH = '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'
+    sql['text_pii_redact'] = f"""
+WITH p AS (SELECT doc_id,
+             text || ' call 555-123-4567 ssn ' ||
+             lpad((doc_id % 1000)::varchar, 3, '0') || '-45-6789 mail u' ||
+             doc_id || '@example.com' AS text
+           FROM documents),
+r1 AS (SELECT doc_id, len(regexp_extract_all(text, '{_EM}')) AS n_email,
+              regexp_replace(text, '{_EM}', '<EMAIL>', 'g') AS t FROM p),
+r2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{_SSN}')) AS n_ssn,
+              regexp_replace(t, '{_SSN}', '<SSN>', 'g') AS t FROM r1),
+r3 AS (SELECT doc_id, n_email, n_ssn, len(regexp_extract_all(t, '{_PH}')) AS n_phone,
+              regexp_replace(t, '{_PH}', '<PHONE>', 'g') AS t FROM r2)
+SELECT doc_id, n_email, n_ssn, n_phone, md5(t) AS red_fp FROM r3
 """
 
     toks_dc = _TOKS.format(col='text')

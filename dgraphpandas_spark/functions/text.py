@@ -132,3 +132,41 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
         )
     )
     return F.array_distinct(wins)
+
+
+# --------------------------------------------------------------- PII scrub
+#
+# Engine-portable patterns: explicit ASCII classes (never \d/\w, whose
+# unicode semantics differ across regex engines), no lookaround — the same
+# strings compile identically under Java regex and RE2 (DuckDB oracles).
+# Order matters: emails first (their local part can contain digit runs),
+# then SSN (3-2-4 beats the phone 3-3-4 only if applied before it), then
+# phones.
+PII_PATTERNS = [
+    ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'),
+    ('ssn', '[0-9]{3}-[0-9]{2}-[0-9]{4}'),
+    ('phone', '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'),
+]
+
+
+def pii_counts(text: Column) -> dict:
+    """Per-kind PII match counts — {'email': Column, 'ssn': ..., 'phone':
+    ...}.  Counted in PII_PATTERNS order on the progressively-redacted
+    text, so an SSN-shaped run inside a phone number is never double
+    counted."""
+    out = {}
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        out[kind] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, f'<{kind.upper()}>')
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its ``<KIND>`` placeholder — the
+    curation-stage scrub run before a corpus is eligible for training.
+    Pure codegen expressions, zero shuffle; fuses into the scan."""
+    cur = text
+    for kind, pat in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, f'<{kind.upper()}>')
+    return cur

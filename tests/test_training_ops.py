@@ -638,3 +638,32 @@ def test_decontaminate_flags_planted_overlap(spark):
     with contextlib.redirect_stdout(buf):
         out.explain()
     assert 'BroadcastHashJoin' in buf.getvalue()
+
+
+def test_pii_redaction(spark):
+    """Emails/SSNs/phones redact to placeholders with correct counts; an
+    SSN-shaped run is not double-counted as a phone."""
+    from dgraphpandas_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, 'mail a.b+c@x-corp.io or call 555-123-4567 now'),
+            (2, 'ssn is 123-45-6789, nothing else'),
+            (3, 'clean text with numbers 12345 and no pii'),
+        ],
+        'id long, text string',
+    )
+    c = pii_counts(F.col('text'))
+    rows = {
+        r['id']: r
+        for r in df.select(
+            'id', c['email'].alias('e'), c['ssn'].alias('s'), c['phone'].alias('p'),
+            redact_pii(F.col('text')).alias('red'),
+        ).collect()
+    }
+    assert (rows[1]['e'], rows[1]['s'], rows[1]['p']) == (1, 0, 1)
+    assert rows[1]['red'] == 'mail <EMAIL> or call <PHONE> now'
+    assert (rows[2]['e'], rows[2]['s'], rows[2]['p']) == (0, 1, 0)
+    assert rows[2]['red'] == 'ssn is <SSN>, nothing else'
+    assert (rows[3]['e'], rows[3]['s'], rows[3]['p']) == (0, 0, 0)
+    assert rows[3]['red'] == 'clean text with numbers 12345 and no pii'
