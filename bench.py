@@ -248,6 +248,18 @@ def main():
     ).collect()
     queries['dedup_clusters'] = round(time.time() - t, 3)
 
+    t = time.time()
+    entry.q_corpus_pack(spark, sf_dir).agg(
+        F.count('*'), F.bit_xor(F.xxhash64('shard', 'pack_id', 'n_docs', 'pack_tokens'))
+    ).collect()
+    queries['corpus_pack'] = round(time.time() - t, 3)
+
+    t = time.time()
+    entry.q_corpus_decontaminate(spark, sf_dir).agg(
+        F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_hits'))
+    ).collect()
+    queries['corpus_decontaminate'] = round(time.time() - t, 3)
+
     total = round(time.time() - t0, 3)
     print(json.dumps({
         'metric': 'e2e_sec',
