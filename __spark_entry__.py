@@ -546,6 +546,56 @@ def q_corpus_pack(spark, sf_dir):
     )
 
 
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Data mixing: deterministic per-language hash sampling (keep 100%
+    de, 50% en, 25% fr, 10% es, 5% default) — membership is a pure
+    function of doc_id, so the kept set is stable under re-runs,
+    repartitioning and appends.  Zero-shuffle filter; the rollup checks
+    the exact kept set (count + id-sum per language)."""
+    from dgraphpandas_spark.operators.curation import sample_stratified
+
+    d = _t(spark, sf_dir, 'documents')
+    kept = sample_stratified(
+        d,
+        rates={'de': 1.0, 'en': 0.5, 'fr': 0.25, 'es': 0.1},
+        strata_col='lang',
+        default_rate=0.05,
+    )
+    return kept.groupBy('lang').agg(
+        F.count('*').alias('n_kept'),
+        F.sum('doc_id').alias('id_sum'),
+        F.min('doc_id').alias('id_min'),
+        F.max('doc_id').alias('id_max'),
+    )
+
+
+def q_text_vocab_topk(spark, sf_dir):
+    """Tokenizer vocab build: top-200 whitespace tokens by frequency with
+    deterministic token ids (count DESC, token ASC — total order).  One
+    token-keyed exchange + TakeOrderedAndProject; the full vocabulary is
+    never globally sorted."""
+    from dgraphpandas_spark.operators.curation import build_vocab
+
+    d = _t(spark, sf_dir, 'documents')
+    v = build_vocab(d, k=200, min_count=2)
+    return v.select(
+        'token',
+        'n_docs',
+        'n_occurrences',
+        F.col('token_id').cast('long').alias('token_id'),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Batch sessionization (gap = 1800 s) of the event log, rolled up to
+    per-session stats — the batch twin of stream_stateful_sessions.  One
+    exchange on user_id; lag + running-sum share a single Window sort."""
+    from dgraphpandas_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, 'events')
+    return session_stats(e, key_col='user_id', ts_col='ts', gap=1800)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, 'documents'), bits=16)
 
@@ -969,6 +1019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_split': q_corpus_split,
         'corpus_pack': q_corpus_pack,
         'corpus_decontaminate': q_corpus_decontaminate,
+        'corpus_sample_stratified': q_corpus_sample_stratified,
+        'text_vocab_topk': q_text_vocab_topk,
+        'events_sessionize': q_events_sessionize,
         'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
         'text_winnow_fingerprints': q_text_winnow_fingerprints,
@@ -1589,6 +1642,53 @@ o AS (SELECT shard, n_tokens,
 SELECT shard, start_offset // 512 AS pack_id, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM o GROUP BY 1, 2
+"""
+
+    # stratified sampling mirrors operators/curation.py sample_stratified:
+    # keep iff md5-bucket(doc_id, 1e6) < rate * 1e6 (rates quantized in
+    # Python-int space on both engines)
+    _rates = {'de': 1_000_000, 'en': 500_000, 'fr': 250_000, 'es': 100_000}
+    _rate_case = (
+        'CASE '
+        + ' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in _rates.items())
+        + ' ELSE 50000 END'
+    )
+    sql['corpus_sample_stratified'] = f"""
+WITH b AS (SELECT doc_id, lang, {_BKT.format(n=1_000_000)} AS bk FROM documents)
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       min(doc_id) AS id_min, max(doc_id) AS id_max
+FROM b WHERE bk < {_rate_case}
+GROUP BY 1
+"""
+
+    toks_v = _TOKS.format(col='text')
+    sql['text_vocab_topk'] = f"""
+WITH t AS (SELECT doc_id, u.tok AS token FROM documents, unnest({toks_v}) AS u(tok)
+           WHERE u.tok <> ''),
+c AS (SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+      FROM t GROUP BY 1 HAVING count(*) >= 2)
+SELECT token, n_docs, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
+FROM c ORDER BY n_occurrences DESC, token LIMIT 200
+"""
+
+    # floor(epoch(ts)) mirrors Spark unix_timestamp's seconds truncation
+    _EPO = 'CAST(floor(epoch(ts)) AS BIGINT)'
+    sql['events_sessionize'] = f"""
+WITH o AS (SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+s AS (SELECT user_id, ts,
+             CAST(sum(CASE WHEN prev IS NULL
+                           OR {_EPO} - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM o)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min({_EPO}) AS start_s, max({_EPO}) AS end_s,
+       max({_EPO}) - min({_EPO}) AS duration_s
+FROM s GROUP BY 1, 2
 """
 
     toks = _TOKS.format(col='text')

@@ -106,6 +106,89 @@ def pack_sequences(
     )
 
 
+def sample_stratified(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = 'lang',
+    id_col: str = 'doc_id',
+    salt: str = '',
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — the data-mixing /
+    reweighting primitive (e.g. keep 100% of low-resource languages, 10%
+    of crawl English).
+
+    Membership is a pure function of (id, salt): stable under re-runs,
+    repartitioning, executor count, and incremental appends — the
+    properties ``DataFrame.sampleBy`` lacks (its Bernoulli draw is
+    partition-order-sensitive and re-draws on task retry, so a 100-TB run
+    with stragglers is not reproducible).  Physical shape: ONE projection
+    + filter fused into the scan, zero exchanges; the per-stratum rate
+    lookup is a constant-folded CASE over ``strata_col``.
+
+    ``rates``: stratum value → keep fraction in [0, 1].  Fractions are
+    quantized to 1e-6 buckets (identically in the DuckDB oracle), so the
+    kept set is exact and engine-portable.
+    """
+    scale = 1_000_000
+    bucket = _id_bucket(
+        F.concat(F.col(id_col).cast('string'), F.lit(salt)) if salt else F.col(id_col),
+        scale,
+    )
+    thr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(rate * scale))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit(int(default_rate * scale)))
+    return df.filter(bucket < thr)
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-``k`` token vocabulary with deterministic ids — the tokenizer
+    vocab-building step (word-level; a BPE trainer would iterate this).
+
+    Output: DataFrame[token, n_docs, n_occurrences, token_id] where
+    ``token_id`` ranks by (n_occurrences DESC, token ASC) — a total order,
+    so ids are reproducible across engines and runs.
+
+    Physical shape (pinned by explain, PLANS.md §7d): tokenize is a
+    fused projection + explode (no shuffle); count_distinct(doc) plans
+    as the two-phase distinct aggregate — partial count keyed
+    (token, doc_id) → exchange → merge → partial distinct keyed token →
+    exchange — both with map-side combine, so the exploded token stream
+    is pre-shrunk before either shuffle; top-k is TakeOrderedAndProject
+    — each task keeps a k-row heap and only k rows ever reach the driver
+    side of the sort, so the full vocabulary (potentially billions of
+    distinct tokens at 100 TB) is never globally sorted.  The final
+    row_number window runs single-partition on the k surviving rows only
+    (the WindowExec warning is expected and bounded by k).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    counted = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias('token'))
+        .filter(F.col('token') != '')
+        .groupBy('token')
+        .agg(
+            F.count_distinct(F.col(id_col)).alias('n_docs'),
+            F.count('*').alias('n_occurrences'),
+        )
+        .filter(F.col('n_occurrences') >= min_count)
+    )
+    topk = counted.orderBy(F.desc('n_occurrences'), F.asc('token')).limit(k)
+    w = Window.orderBy(F.desc('n_occurrences'), F.asc('token'))
+    return topk.withColumn('token_id', F.row_number().over(w))
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

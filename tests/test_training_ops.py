@@ -667,3 +667,77 @@ def test_pii_redaction(spark):
     assert rows[2]['red'] == 'ssn is <SSN>, nothing else'
     assert (rows[3]['e'], rows[3]['s'], rows[3]['p']) == (0, 0, 0)
     assert rows[3]['red'] == 'clean text with numbers 12345 and no pii'
+
+
+def test_sample_stratified_deterministic_rates(spark, docs):
+    """Rate 1.0 keeps the whole stratum, 0.0 drops it, and membership is a
+    pure function of doc_id (stable under repartitioning)."""
+    from dgraphpandas_spark.operators.curation import sample_stratified
+
+    rates = {'de': 1.0, 'en': 0.5, 'fr': 0.0}
+    kept = sample_stratified(docs, rates=rates, default_rate=0.0)
+    by_lang = {r['lang']: r['n'] for r in kept.groupBy('lang').agg(F.count('*').alias('n')).collect()}
+    totals = {r['lang']: r['n'] for r in docs.groupBy('lang').agg(F.count('*').alias('n')).collect()}
+    assert by_lang.get('de') == totals['de']          # rate 1.0 → all kept
+    assert 'fr' not in by_lang                        # rate 0.0 → none
+    assert 'es' not in by_lang and 'zh' not in by_lang  # default 0.0
+    assert 0 < by_lang['en'] < totals['en']           # partial stratum
+
+    ids = sorted(r['doc_id'] for r in kept.select('doc_id').collect())
+    ids_repart = sorted(
+        r['doc_id']
+        for r in sample_stratified(docs.repartition(13), rates=rates, default_rate=0.0)
+        .select('doc_id').collect()
+    )
+    assert ids == ids_repart
+
+    # salt changes the kept set (independent draws), same expected rate
+    salted = sample_stratified(docs, rates=rates, default_rate=0.0, salt='v2')
+    assert sorted(r['doc_id'] for r in salted.select('doc_id').collect()) != ids
+
+
+def test_build_vocab_counts_and_tiebreak(spark):
+    from dgraphpandas_spark.operators.curation import build_vocab
+
+    df = spark.createDataFrame(
+        [
+            (1, 'b a b c'),
+            (2, 'a b zz'),
+            (3, 'c a'),
+        ],
+        'doc_id long, text string',
+    )
+    rows = build_vocab(df, k=10, min_count=1).collect()
+    got = {r['token']: (r['n_docs'], r['n_occurrences'], r['token_id']) for r in rows}
+    # b: 3 occ in 2 docs; a: 3 occ in 3 docs; tie on count → token ASC wins
+    assert got['a'] == (3, 3, 1)
+    assert got['b'] == (2, 3, 2)
+    assert got['c'] == (2, 2, 3)
+    assert got['zz'] == (1, 1, 4)
+    assert build_vocab(df, k=2, min_count=1).count() == 2
+    assert build_vocab(df, k=10, min_count=2).count() == 3  # zz filtered
+
+
+def test_sessionize_gap_boundaries_and_ties(spark):
+    from dgraphpandas_spark.operators.sessions import sessionize, session_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, '2024-01-01 00:00:00'),
+            (2, 10, '2024-01-01 00:10:00'),   # 600s gap → same session
+            (3, 10, '2024-01-01 01:00:01'),   # 3001s gap → new session
+            (4, 10, '2024-01-01 01:00:01'),   # tie ts → event_id orders it
+            (5, 20, '2024-01-01 00:00:00'),   # other user independent
+        ],
+        'event_id long, user_id long, ts string',
+    ).withColumn('ts', F.col('ts').cast('timestamp'))
+    s = {r['event_id']: r['session_idx'] for r in sessionize(df, gap=1800).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    stats = {
+        (r['user_id'], r['session_idx']): (r['n_events'], r['duration_s'])
+        for r in session_stats(df, gap=1800).collect()
+    }
+    assert stats[(10, 1)] == (2, 600)
+    assert stats[(10, 2)] == (2, 0)
+    assert stats[(20, 1)] == (1, 0)
