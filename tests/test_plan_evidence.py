@@ -112,6 +112,50 @@ def test_minhash_signatures_stay_hash_aggregated(spark):
     assert 'HashAggregate' in phys
 
 
+def test_stratified_sample_is_a_fused_zero_shuffle_filter(spark):
+    """sample_stratified is a pure scan→filter — no exchange, no extra
+    projection stage; the rate CASE folds into the one Filter
+    (PLANS.md §5f claim)."""
+    from dgraphpandas_spark.operators.curation import sample_stratified
+
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    kept = sample_stratified(docs, rates={'en': 0.5, 'de': 1.0}, default_rate=0.1)
+    phys = _plan(kept).split('== Physical Plan ==')[1]
+    assert 'Exchange' not in phys, 'sampling must not shuffle'
+    assert 'Filter' in phys
+
+
+def test_build_vocab_uses_bounded_topk_not_global_sort(spark):
+    """build_vocab's top-k is TakeOrderedAndProject (per-task k-row heap);
+    the full vocabulary is never globally sorted (PLANS.md §5f claim).
+    The only Sort allowed is the final row_number window over k rows."""
+    from dgraphpandas_spark.operators.curation import build_vocab
+
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    phys = _plan(build_vocab(docs, k=50, min_count=2)).split('== Physical Plan ==')[1]
+    assert 'TakeOrderedAndProject' in phys, 'top-k must be heap-based'
+    # sorts: only the single-partition window over the k survivors — which
+    # sits ABOVE the TakeOrderedAndProject, never below it on the full data
+    below_topk = phys.split('TakeOrderedAndProject')[1]
+    assert 'Sort ' not in below_topk, 'no global sort below the top-k'
+
+
+def test_sessionize_one_exchange_one_sort_and_free_rollup(spark):
+    """session_stats = ONE hash exchange on the key; lag + running-sum
+    share a single per-key Sort; the per-session groupBy adds NO second
+    exchange because (user_id, session_idx) preserves the user_id
+    partitioning (PLANS.md §5f / sessions.py docstring claims)."""
+    from dgraphpandas_spark.operators.sessions import session_stats
+
+    events = spark.read.parquet(f'{SF_DIR}/events.parquet')
+    phys = _plan(session_stats(events)).split('== Physical Plan ==')[1]
+    n_exch = phys.count('Exchange hashpartitioning(')
+    assert n_exch == 1, f'expected exactly 1 shuffle, got {n_exch}'
+    n_sort = phys.count('Sort [')
+    assert n_sort == 1, f'both windows must share one sort, got {n_sort}'
+    assert phys.count('Window') <= 2
+
+
 def test_entity_linking_broadcasts_the_dictionary(spark):
     """link_entities joins the triple stream against the canonical
     dictionary via BroadcastHashJoin — the big side is never shuffled."""
