@@ -614,6 +614,20 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    duplicate-token fraction, top-bigram fraction, duplicate-trigram
+    fraction, and the keep verdict.  Doc-local array expressions — the
+    top-bigram count uses the O(L log L) sorted-run formulation, not the
+    O(L²) count-per-distinct, so 100k-token web documents stay cheap.
+    Staged projections keep every intermediate array computed once per row
+    (see functions/text.py:with_repetition_stats).  Zero exchanges."""
+    d = _t(spark, sf_dir, 'documents')
+    return TX.with_repetition_stats(d, 'text').select(
+        'doc_id', 'dup_token_frac', 'top_bigram_frac', 'dup_trigram_frac', 'keep'
+    )
+
+
 def q_text_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints: distinct window-minima of
     k-gram hashes per document, exploded to (doc_id, fp) rows.  One fused
@@ -1024,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sessionize': q_events_sessionize,
         'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
+        'text_repetition': q_text_repetition,
         'text_winnow_fingerprints': q_text_winnow_fingerprints,
         'events_json_props': q_events_json_props,
         'ann_cosine_topk': q_ann_cosine_topk,
@@ -1707,6 +1722,40 @@ SELECT doc_id,
   {_lang_sql()} AS lang_pred,
   md5({norm}) AS fp
 FROM documents
+"""
+
+    # repetition filters: identical sorted-run max-frequency formulation
+    # (DuckDB lists are 1-based where Spark's F.get is 0-based; the CASE
+    # j = len(starts) arm plays Spark's coalesce(get(starts, j+1), n))
+    rth = TX.REPETITION_THRESHOLDS
+    sql['text_repetition'] = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
+       i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS g2,
+  CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
+       i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS g3
+  FROM t),
+s AS (SELECT *, list_sort(g2) AS s2 FROM g),
+st AS (SELECT *, list_filter(range(1, len(s2) + 1),
+       i -> i = 1 OR s2[i] != s2[i-1]) AS starts FROM s),
+m AS (SELECT *, CASE WHEN len(s2) = 0 THEN 0 ELSE
+       list_max(list_transform(range(1, len(starts) + 1),
+         j -> (CASE WHEN j = len(starts) THEN len(s2) + 1
+               ELSE starts[j+1] END) - starts[j])) END AS maxrun FROM st),
+f AS (SELECT doc_id, len(g2) AS n_g2,
+  round(CASE WHEN len(toks) = 0 THEN 0.0
+        ELSE (len(toks) - len(list_distinct(toks))) / len(toks)::double END, 6) AS dup_token_frac,
+  round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE maxrun / len(g2)::double END, 6) AS top_bigram_frac,
+  round(CASE WHEN len(g3) = 0 THEN 0.0
+        ELSE (len(g3) - len(list_distinct(g3))) / len(g3)::double END, 6) AS dup_trigram_frac
+  FROM m)
+SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+       (dup_token_frac <= {rth['dup_token_frac']}
+        AND (top_bigram_frac <= {rth['top_bigram_frac']}
+             OR n_g2 < {rth['min_bigrams_for_top']})
+        AND dup_trigram_frac <= {rth['dup_trigram_frac']}) AS keep
+FROM f
 """
 
     # winnowing: same k-gram construction as _shingles_cte, hashes as

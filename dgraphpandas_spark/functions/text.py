@@ -134,6 +134,128 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     return F.array_distinct(wins)
 
 
+# ------------------------------------------------- repetition quality filters
+#
+# Gopher-style (Rae et al. 2021, §A1.1) repetition signals, adapted to the
+# single-line word-stream documents of this corpus: fraction of duplicate
+# tokens, fraction of n-grams occupied by the single most frequent n-gram,
+# and fraction of duplicate n-grams.  All doc-local — pure array
+# expressions, zero shuffle, fused into the scan projection.
+#
+# The most-frequent-gram count deliberately avoids the obvious
+# count-per-distinct formulation (O(L²) per doc — quadratic in document
+# length, ruinous on 100k-token web documents).  Instead: sort the gram
+# array once, find run starts, take the max gap between consecutive starts
+# — O(L log L), identically expressible in DuckDB for the oracle.
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """n-grams over a token array ('a b c' joined); < n tokens → empty."""
+    return F.when(F.size(toks) < n, F.array().cast('array<string>')).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), ' '),
+        )
+    )
+
+
+def _dup_fraction(arr: Column) -> Column:
+    """(elements − distinct elements) / elements; 0.0 when empty.  Safe to
+    inline: ``arr`` must be an attribute reference, not a deep expression."""
+    n = F.size(arr)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(arr))) / n.cast('double'), 6)
+    )
+
+
+def with_repetition_stats(df, text_col: str = 'text'):
+    """Append ``dup_token_frac``, ``top_bigram_frac``, ``dup_trigram_frac``
+    and ``keep`` to ``df``.
+
+    Implemented as a chain of staged ``withColumn`` projections rather than
+    one nested Column expression: each intermediate (token array, gram
+    arrays, sorted bigrams, run starts) is referenced several times by the
+    next stage, and Catalyst's CollapseProject duplicates a multi-referenced
+    alias only when it is cheap — so the arrays are computed ONCE per row.
+    (The naive nested formulation re-expands the sorted-gram subtree ~10×
+    inside the HOF lambdas and was measured 2 orders of magnitude slower.)
+
+    The most-frequent-bigram count is the O(L log L) sorted-run scheme:
+    sort the bigram array, find run starts (positions whose predecessor
+    differs — F.get is 0-indexed and NULL out-of-bounds, and NULL != x is
+    NULL which filter() treats as false), max gap between consecutive
+    starts.  The obvious count-per-distinct alternative is O(L²) per doc —
+    ruinous on 100k-token web documents.  All doc-local: zero exchanges,
+    the stages fuse into the scan-side projection pipeline."""
+    t = F.col(text_col)
+    tk, g2, g3, s2, st = (F.col(f'__rep_{c}') for c in ('toks', 'g2', 'g3', 's2', 'starts'))
+    df = (
+        df.withColumn('__rep_toks', tokens(t))
+        .withColumn('__rep_g2', _word_grams(tk, 2))
+        .withColumn('__rep_g3', _word_grams(tk, 3))
+        .withColumn('__rep_s2', F.array_sort(g2))
+        .withColumn(
+            '__rep_starts',
+            F.filter(
+                F.sequence(F.lit(0), F.greatest(F.size(s2) - 1, F.lit(0))),
+                lambda i: (i == 0) | (F.get(s2, i) != F.get(s2, i - 1)),
+            ),
+        )
+        .withColumn(
+            '__rep_maxrun',
+            F.when(F.size(s2) == 0, F.lit(0)).otherwise(
+                F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(st) - 1),
+                        lambda j: F.coalesce(F.get(st, j + 1), F.size(s2)) - F.get(st, j),
+                    )
+                )
+            ),
+        )
+    )
+    dup_tok = _dup_fraction(tk)
+    top_bi = F.when(F.size(g2) == 0, F.lit(0.0)).otherwise(
+        F.round(F.col('__rep_maxrun') / F.size(g2).cast('double'), 6)
+    )
+    dup_tri = _dup_fraction(g3)
+    df = (
+        df.withColumn('dup_token_frac', dup_tok)
+        .withColumn('top_bigram_frac', top_bi)
+        .withColumn('dup_trigram_frac', dup_tri)
+        .withColumn(
+            'keep',
+            repetition_keep(
+                F.col('dup_token_frac'), F.col('top_bigram_frac'),
+                F.col('dup_trigram_frac'), F.size(g2),
+            ),
+        )
+    )
+    return df.drop(*[c for c in df.columns if c.startswith('__rep_')])
+
+
+# keep-thresholds in the spirit of Gopher table A1 (tuned to word streams).
+# The top-bigram criterion only applies to docs with ≥ min_bigrams_for_top
+# bigrams: on a short doc even all-unique grams give 1/n_grams > threshold,
+# so concentration is meaningless below a floor (Gopher judges long docs).
+REPETITION_THRESHOLDS = {
+    'dup_token_frac': 0.80,
+    'top_bigram_frac': 0.18,
+    'dup_trigram_frac': 0.90,
+    'min_bigrams_for_top': 20,
+}
+
+
+def repetition_keep(dup_tok: Column, top_bi: Column, dup_tri: Column,
+                    n_bigrams: Column) -> Column:
+    th = REPETITION_THRESHOLDS
+    return (
+        (dup_tok <= th['dup_token_frac'])
+        & ((top_bi <= th['top_bigram_frac'])
+           | (n_bigrams < th['min_bigrams_for_top']))
+        & (dup_tri <= th['dup_trigram_frac'])
+    )
+
+
 # --------------------------------------------------------------- PII scrub
 #
 # Engine-portable patterns: explicit ASCII classes (never \d/\w, whose

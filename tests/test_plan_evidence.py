@@ -165,3 +165,20 @@ def test_entity_linking_broadcasts_the_dictionary(spark):
     phys = p.split('== Physical Plan ==')[1]
     assert 'BroadcastHashJoin' in phys
     assert 'SortMergeJoin' not in phys
+
+
+def test_repetition_stats_zero_exchange_staged_projections(spark):
+    """text_repetition: doc-local arrays only — the physical plan must have
+    ZERO exchanges, and the staged intermediates (__rep_s2 sorted grams,
+    __rep_starts run starts) must survive as named projection columns so
+    CollapseProject does not re-expand them into the HOF lambdas (the
+    naive nested form was measured 2 orders of magnitude slower)."""
+    import __spark_entry__ as e
+
+    df = e.q_text_repetition(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan, 'repetition stats must not shuffle'
+    assert '__rep_s2' in plan and '__rep_starts' in plan, \
+        'staged intermediates must remain materialized projection columns'
+    # exactly one array_sort: the sorted bigram array is computed once/row
+    assert plan.count('array_sort') == 1

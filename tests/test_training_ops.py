@@ -741,3 +741,50 @@ def test_sessionize_gap_boundaries_and_ties(spark):
     assert stats[(10, 1)] == (2, 600)
     assert stats[(10, 2)] == (2, 0)
     assert stats[(20, 1)] == (1, 0)
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition filters: hand-computed fractions, edge cases
+    (empty doc, single token, all-same doc), and the keep verdict."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dgraphpandas_spark.functions.text import with_repetition_stats
+
+    rows = [
+        (1, 'a b a b a b'),        # 6 toks {a,b}; bigrams: 'a b'x3,'b a'x2 → top 3/5
+        (2, 'x y z w'),            # all unique → top bigram frac = 1/3
+        (3, 'q q q q q'),          # degenerate: one token repeated
+        (4, 'solo'),               # 1 token → no bigrams/trigrams
+        (5, ''),                   # empty → all 0.0
+        (6, 'a b ' * 15),          # 30 toks → 29 bigrams ≥ floor, top 15/29
+        (7, ' '.join(f't{i} u{i}' for i in range(15))),  # 30 unique toks
+    ]
+    df = spark.createDataFrame(rows, 'doc_id int, text string')
+    out = {r['doc_id']: r for r in with_repetition_stats(df).collect()}
+
+    assert abs(out[1]['dup_token_frac'] - 4 / 6) < 1e-6
+    assert abs(out[1]['top_bigram_frac'] - 3 / 5) < 1e-6
+    # trigrams: aba, bab, aba, bab → 2 dup of 4
+    assert abs(out[1]['dup_trigram_frac'] - 0.5) < 1e-6
+    assert out[1]['keep']  # only 5 bigrams → concentration floor waives top
+
+    assert out[2]['dup_token_frac'] == 0.0
+    assert abs(out[2]['top_bigram_frac'] - 1 / 3) < 1e-6  # unique grams → 1/n
+    assert out[2]['keep']
+
+    assert abs(out[3]['dup_token_frac'] - 4 / 5) < 1e-6
+    assert out[3]['top_bigram_frac'] == 1.0   # only bigram 'q q'
+    assert out[3]['keep']  # short doc: floor waives the top-bigram filter
+
+    for d in (4, 5):
+        assert out[d]['top_bigram_frac'] == 0.0
+        assert out[d]['dup_trigram_frac'] == 0.0
+        assert out[d]['keep']
+    assert out[5]['dup_token_frac'] == 0.0
+
+    # long repeated doc: 29 bigrams ('a b'x15, 'b a'x14) → top 15/29 > 0.18
+    assert abs(out[6]['top_bigram_frac'] - 15 / 29) < 1e-6
+    assert not out[6]['keep']
+    # long diverse doc: 29 unique bigrams → top 1/29, keeps
+    assert abs(out[7]['top_bigram_frac'] - 1 / 29) < 1e-6
+    assert out[7]['keep']
