@@ -694,6 +694,18 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     return SS.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, centroids=cents)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means clusters (2 deterministic
+    Lloyd rounds, shared with the trained-IVF quantizer) + within-cluster
+    cosine near-dup collapse under the lowest-id-representative rule.
+    Equi-join on cell — never all-pairs; n_cells is the 100-TB knob
+    (operators/dedup.py:semantic_dedup).  Oracle replays training as SQL
+    CTEs and mirrors the keep rule."""
+    return DD.semantic_dedup(
+        _t(spark, sf_dir, 'embeddings'), threshold=0.4, n_cells=8, iters=2
+    )
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     return DD.embedding_neardup_pairs(_t(spark, sf_dir, 'embeddings'), threshold=0.4)
 
@@ -1048,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
         'ann_ivf_materialized_topk': q_ann_ivf_materialized_topk,
         'ann_recall': q_ann_recall,
+        'dedup_semantic': q_dedup_semantic,
         'emb_neardup_lsh': q_emb_neardup_lsh,
         'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
         'emb_neardup_pairs': q_emb_neardup_pairs,
@@ -1156,18 +1169,17 @@ def _minhash_sql(bands: int = 4, n: int = 3) -> str:
     return f'WITH {_minhash_cand_ctes(bands, n)} SELECT id_a, id_b FROM cand'
 
 
-def _trained_ivf_sql(
-    n_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10, dim: int = 64
-) -> str:
-    """Replays simsearch.train_ivf_centroids + ivf_topk in SQL: md5-ordered
-    init, per-round nearest-centroid assignment (round(dot,6) DESC, cell ASC
-    — first-max-wins like ivf_cell) and per-dim means rounded to 6 decimals
-    (so training error cannot propagate between engines)."""
+def _kmeans_ctes(n_cells: int = 8, iters: int = 2, dim: int = 64):
+    """K-means-training CTEs shared by the trained-IVF and SemDeDup oracles
+    (replays simsearch.train_ivf_centroids in SQL: md5-ordered init,
+    per-round nearest-centroid assignment — round(dot,6) DESC, cell ASC,
+    first-max-wins like ivf_cell — and per-dim means rounded to 6 decimals
+    so training error cannot propagate between engines).  Returns
+    (parts, final) where ``final`` names the trained-centroid CTE."""
     avgs = ', '.join(f'round(avg(v[{i + 1}]), 6)' for i in range(dim))
     dot = _dot_sql('e.v', 'c.c')
     parts = [
         'e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)',
-        'q AS (SELECT v FROM e WHERE vec_id = 0)',
         (
             'init AS (SELECT (row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1)::int AS cell, '
             'list_transform(v, x -> round(x, 6)) AS c '
@@ -1188,18 +1200,52 @@ def _trained_ivf_sql(
             f'FROM {prev} p LEFT JOIN cagg{it} a USING (cell))'
         )
         prev = f'cent{it}'
+    return parts, prev
+
+
+def _final_assign_cte(prev: str) -> str:
+    dot = _dot_sql('e.v', 'c.c')
+    return (
+        'fin AS (SELECT vec_id, v, cell FROM ('
+        'SELECT e.vec_id, e.v, c.cell, row_number() OVER ('
+        f'PARTITION BY e.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
+        f'FROM e CROSS JOIN {prev} c) WHERE rn = 1)'
+    )
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.4, n_cells: int = 8, iters: int = 2, dim: int = 64
+) -> str:
+    """SemDeDup oracle: trained assignment + within-cell pair scan + the
+    lowest-id-representative keep rule (mirrors dedup.semantic_dedup)."""
+    parts, prev = _kmeans_ctes(n_cells, iters, dim)
+    parts.append(_final_assign_cte(prev))
+    cos = _cosine_sql('a.v', 'b.v')
+    parts.append(
+        'dups AS (SELECT DISTINCT a.vec_id FROM fin a JOIN fin b USING (cell) '
+        f'WHERE a.vec_id > b.vec_id AND round({cos}, 6) >= {threshold})'
+    )
+    return (
+        'WITH ' + ', '.join(parts)
+        + ' SELECT f.vec_id, f.cell, '
+        '(f.vec_id NOT IN (SELECT vec_id FROM dups)) AS keep FROM fin f'
+    )
+
+
+def _trained_ivf_sql(
+    n_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    """Replays simsearch.train_ivf_centroids + ivf_topk in SQL (training
+    CTEs factored into _kmeans_ctes)."""
+    parts, prev = _kmeans_ctes(n_cells, iters, dim)
+    parts.insert(1, 'q AS (SELECT v FROM e WHERE vec_id = 0)')
     qdot = _dot_sql('q.v', 'c.c')
     parts.append(
         'probes AS (SELECT cell FROM ('
         f'SELECT c.cell, round({qdot}, 6) AS s FROM {prev} c, q) '
         f'ORDER BY s DESC, cell ASC LIMIT {nprobe})'
     )
-    parts.append(
-        'fin AS (SELECT vec_id, v, cell FROM ('
-        'SELECT e.vec_id, e.v, c.cell, row_number() OVER ('
-        f'PARTITION BY e.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
-        f'FROM e CROSS JOIN {prev} c) WHERE rn = 1)'
-    )
+    parts.append(_final_assign_cte(prev))
     cos = _cosine_sql('f.v', 'q.v')
     return (
         'WITH ' + ', '.join(parts)
@@ -1829,6 +1875,7 @@ LIMIT 10
     sql['ann_ivf_materialized_topk'] = sql['ann_ivf_topk']
 
     sql['ann_ivf_trained_topk'] = _trained_ivf_sql(n_cells=8, iters=2, nprobe=2, k=10, dim=64)
+    sql['dedup_semantic'] = _semantic_dedup_sql(threshold=0.4, n_cells=8, iters=2, dim=64)
 
     # Recall@10 of each approximate index vs exact brute force: the three
     # candidate top-10s are the (already-green) per-method oracle queries

@@ -401,3 +401,57 @@ def embedding_neardup_pairs_lsh(
         .select('id_a', 'id_b', 'cos')
         .distinct()
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    iters: int = 2,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, compare cosine similarity ONLY within a cluster, and
+    drop every document that has a lower-id same-cluster neighbor at
+    ``cos >= threshold`` — the deterministic lowest-id-representative rule
+    keeps exactly one doc per within-cluster duplicate group without a
+    connected-components pass.
+
+    Returns (id_col, cell, keep).
+
+    Scale: pair generation is an EQUI-JOIN on cell — never all-pairs; the
+    shuffle moves each vector once per side, keyed by cell.  Per-cluster
+    work is O(c²) with c ≈ n/n_cells: SemDeDup's contract is that n_cells
+    grows with the corpus (the paper runs 50k clusters on LAION) so c stays
+    bounded; n_cells is the ONE knob to turn at 100 TB.  Centroid training
+    (train_ivf_centroids) shuffles n_cells × dim partial sums per round,
+    never vectors, and the driver holds centroids only.
+    """
+    from .simsearch import ivf_assign, train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(df, vec_col=vec_col, centroids=centroids).select(
+        F.col(id_col).alias('id'), F.col(vec_col).alias('v'), 'cell'
+    )
+    a = assigned.select(F.col('id').alias('id_a'), F.col('v').alias('va'), 'cell')
+    b = assigned.select(F.col('id').alias('id_b'), F.col('v').alias('vb'), 'cell')
+    dups = (
+        a.join(b, 'cell')
+        .filter(F.col('id_a') > F.col('id_b'))
+        .filter(F.round(cosine(F.col('va'), F.col('vb')), 6) >= threshold)
+        .select(F.col('id_a').alias('id'))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn('dup', F.lit(True)), 'id', 'left')
+        .select(
+            F.col('id').alias(id_col),
+            'cell',
+            F.coalesce(~F.col('dup'), F.lit(True)).alias('keep'),
+        )
+    )

@@ -182,3 +182,16 @@ def test_repetition_stats_zero_exchange_staged_projections(spark):
         'staged intermediates must remain materialized projection columns'
     # exactly one array_sort: the sorted bigram array is computed once/row
     assert plan.count('array_sort') == 1
+
+
+def test_semantic_dedup_is_an_equi_join_on_cell(spark):
+    """SemDeDup's pair stage must be a shuffle equi-join keyed on cell —
+    never a cartesian/broadcast-nested-loop all-pairs plan."""
+    from dgraphpandas_spark.operators.dedup import semantic_dedup
+
+    df = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
+    out = semantic_dedup(df, threshold=0.4, centroids=[[1.0] * 64, [-1.0] * 64])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'CartesianProduct' not in plan
+    assert 'BroadcastNestedLoopJoin' not in plan
+    assert 'cell' in plan

@@ -788,3 +788,30 @@ def test_repetition_stats(spark):
     # long diverse doc: 29 unique bigrams → top 1/29, keeps
     assert abs(out[7]['top_bigram_frac'] - 1 / 29) < 1e-6
     assert out[7]['keep']
+
+
+def test_semantic_dedup_fixture(spark):
+    """SemDeDup keep rule on a hand-built 2-cluster fixture: within-cluster
+    near-dups collapse to the lowest id; a near-identical pair SPLIT across
+    cells is deliberately not caught (the SemDeDup approximation)."""
+    from dgraphpandas_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),      # cell 0 representative
+        (2, [0.999, 0.02]),   # dup of 1 (cos ≈ 0.9998) → dropped
+        (3, [0.0, 1.0]),      # cell 1 representative
+        (4, [0.02, 0.999]),   # dup of 3 → dropped
+        (5, [0.70, 0.72]),    # cell 1, far from 3/4 → kept
+        (6, [0.708, 0.706]),  # cell 0; near-dup of 5 but other cell → kept
+    ]
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    out = {
+        r['vec_id']: (r['cell'], r['keep'])
+        for r in semantic_dedup(
+            df, threshold=0.95, centroids=[[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert {k: v[1] for k, v in out.items()} == {
+        1: True, 2: False, 3: True, 4: False, 5: True, 6: True
+    }
+    assert out[5][0] == 1 and out[6][0] == 0, 'the 5/6 pair must straddle cells'
