@@ -836,6 +836,43 @@ def q_kg_graph_completion(spark, sf_dir):
     return conversation_nodes(turns).unionByName(tool_nodes(edges))
 
 
+def _conv_tool_edges(spark, sf_dir):
+    """Symmetrized conversation↔tool entity edges from the events table —
+    the bipartite KG slice the analytics queries run over (same node
+    naming as q_kg_graph_completion)."""
+    ev = _t(spark, sf_dir, 'events')
+    pairs = (
+        ev.filter(F.col('event_type') != 'click')
+        .select(
+            F.concat(F.lit('u'), F.col('user_id')).alias('conv'),
+            F.concat(F.lit('tool_'), F.col('event_type')).alias('tool'),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col('conv').alias('src'), F.col('tool').alias('dst')).unionByName(
+        pairs.select(F.col('tool').alias('src'), F.col('conv').alias('dst'))
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the conversation↔tool entity graph
+    (operators/graph.py) — per-round ranks rounded to 6 dp so the DuckDB
+    oracle replays the identical 3 unrolled rounds.  Per iteration: one
+    shuffle-join (contributions keyed on src) + one shuffle-agg (sum by
+    dst), rank rows only."""
+    from dgraphpandas_spark.operators.graph import pagerank
+
+    return pagerank(_conv_tool_edges(spark, sf_dir), iters=3, damping=0.85)
+
+
+def q_kg_degree_stats(spark, sf_dir):
+    """Per-entity in/out degree over the same graph — full-outer merge of
+    two key-only count aggregates."""
+    from dgraphpandas_spark.operators.graph import degree_stats
+
+    return degree_stats(_conv_tool_edges(spark, sf_dir))
+
+
 def q_stream_kg_triples(spark, sf_dir):
     """The north-star streaming ELT path end-to-end: transcript-shaped
     turns (mapped from events) streamed in TWO forced micro-batches
@@ -1031,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_edge_id_convention': q_kg_edge_id_convention,
         'kg_salted_dedup': q_kg_salted_dedup,
         'kg_graph_completion': q_kg_graph_completion,
+        'kg_pagerank': q_kg_pagerank,
+        'kg_degree_stats': q_kg_degree_stats,
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
@@ -1230,6 +1269,32 @@ def _semantic_dedup_sql(
         + ' SELECT f.vec_id, f.cell, '
         '(f.vec_id NOT IN (SELECT vec_id FROM dups)) AS keep FROM fin f'
     )
+
+
+def _pagerank_sql(edges_cte: str, iters: int = 3, damping: float = 0.85) -> str:
+    """Replays operators/graph.pagerank: ``edges_cte`` must define a CTE
+    ``e(src, dst)``; ranks are rounded to 6 dp per unrolled round and the
+    damping constants are interpolated via repr so both engines parse the
+    identical IEEE double."""
+    parts = [
+        edges_cte.strip(),
+        'nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))',
+        'nn AS (SELECT count(*)::double AS n FROM nodes)',
+        'outd AS (SELECT src, count(*) AS outd FROM e GROUP BY 1)',
+        'ed AS (SELECT e.src, e.dst, o.outd FROM e JOIN outd o ON e.src = o.src)',
+        'pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)',
+    ]
+    base, d = repr(1.0 - damping), repr(damping)
+    prev = 'pr0'
+    for it in range(1, iters + 1):
+        parts.append(
+            f'pr{it} AS (SELECT nodes.id, '
+            f'round({base} / (SELECT n FROM nn) + {d} * coalesce(t.s, 0.0), 6) AS pr '
+            f'FROM nodes LEFT JOIN (SELECT dst AS id, sum(pr / outd) AS s '
+            f'FROM ed JOIN {prev} p ON ed.src = p.id GROUP BY dst) t ON nodes.id = t.id)'
+        )
+        prev = f'pr{it}'
+    return 'WITH ' + ',\n'.join(parts) + f'\nSELECT id, pr FROM {prev}'
 
 
 def _trained_ivf_sql(
@@ -1571,6 +1636,23 @@ FROM (SELECT DISTINCT user_id FROM events)
 UNION ALL
 SELECT DISTINCT 'tool_' || event_type, 'dgraph.type', 'tool', '<xs:string>'
 FROM events WHERE event_type != 'click'
+"""
+
+    # PageRank: 3 unrolled rounds, per-round round(pr, 6) re-synchronizes
+    # both engines (same trick as the k-means oracle); base/damping
+    # constants interpolated via repr so both parse the identical double.
+    _PR_EDGES = """
+pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
+          FROM events WHERE event_type != 'click'),
+e AS (SELECT conv AS src, tool AS dst FROM pairs
+      UNION ALL SELECT tool AS src, conv AS dst FROM pairs)"""
+    sql['kg_pagerank'] = _pagerank_sql(_PR_EDGES, iters=3, damping=0.85)
+    sql['kg_degree_stats'] = f"""
+WITH {_PR_EDGES},
+o AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY 1)
+SELECT id, coalesce(out_degree, 0) AS out_degree, coalesce(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i USING (id)
 """
 
     # Streaming triple extraction is batch-equivalent (stateless transform,

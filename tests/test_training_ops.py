@@ -815,3 +815,34 @@ def test_semantic_dedup_fixture(spark):
         1: True, 2: False, 3: True, 4: False, 5: True, 6: True
     }
     assert out[5][0] == 1 and out[6][0] == 0, 'the 5/6 pair must straddle cells'
+
+
+def test_pagerank_and_degree_stats(spark):
+    """PageRank on a 3-cycle sits at its fixed point (1/3 each); a
+    symmetrized star concentrates rank on the hub; mass is conserved
+    (no dangling nodes in a symmetrized graph)."""
+    from dgraphpandas_spark.operators.graph import degree_stats, pagerank
+
+    cycle = spark.createDataFrame(
+        [('a', 'b'), ('b', 'c'), ('c', 'a')], 'src string, dst string'
+    )
+    pr = {r['id']: r['pr'] for r in pagerank(cycle, iters=3).collect()}
+    assert all(abs(v - 0.333333) < 2e-6 for v in pr.values())
+
+    star = spark.createDataFrame(
+        [('x', 'h'), ('y', 'h'), ('z', 'h'), ('h', 'x'), ('h', 'y'), ('h', 'z')],
+        'src string, dst string',
+    )
+    spr = {r['id']: r['pr'] for r in pagerank(star, iters=3).collect()}
+    assert spr['h'] > spr['x'] and spr['x'] == spr['y'] == spr['z']
+    assert abs(sum(spr.values()) - 1.0) < 1e-4, 'rank mass conserved'
+
+    deg = {r['id']: (r['out_degree'], r['in_degree']) for r in degree_stats(star).collect()}
+    assert deg['h'] == (3, 3) and deg['x'] == (1, 1)
+
+    # directed chain with a dangling sink: a→b→c, c emits nothing
+    chain = spark.createDataFrame([('a', 'b'), ('b', 'c')], 'src string, dst string')
+    cpr = {r['id']: r['pr'] for r in pagerank(chain, iters=2).collect()}
+    assert cpr['c'] > cpr['b'] > cpr['a'] >= 0.05  # rank flows down the chain
+    cdeg = {r['id']: (r['out_degree'], r['in_degree']) for r in degree_stats(chain).collect()}
+    assert cdeg == {'a': (1, 0), 'b': (1, 1), 'c': (0, 1)}
