@@ -873,6 +873,46 @@ def q_kg_degree_stats(spark, sf_dir):
     return degree_stats(_conv_tool_edges(spark, sf_dir))
 
 
+def q_kg_incremental_merge(spark, sf_dir):
+    """Incremental KG merge (Dgraph upsert semantics,
+    operators/canonicalize.py:merge_triples): a delta batch REPLACES
+    single-valued predicates per (subject, predicate) and edge triples
+    accumulate.  Default anti-join strategy: delta keys are the build
+    side, so the store is never value-aggregated (and with a small delta
+    AQE broadcasts the key set — the store never shuffles).  Existing
+    store: etype/user intrinsics + tool edges per event-turn; delta:
+    corrected etype for event_id%3==0, extra tool edge for event_id%5==0."""
+    from dgraphpandas_spark.operators.canonicalize import merge_triples
+
+    ev = _t(spark, sf_dir, 'events')
+    subj = F.concat(F.lit('turn_'), F.col('event_id'))
+    xs = F.lit('<xs:string>')
+    existing = (
+        ev.select(subj.alias('subject'), F.lit('etype').alias('predicate'),
+                  F.col('event_type').alias('object'), xs.alias('type'))
+        .unionByName(
+            ev.select(subj.alias('subject'), F.lit('user').alias('predicate'),
+                      F.col('user_id').cast('string').alias('object'), xs.alias('type')))
+        .unionByName(
+            ev.filter(F.col('event_type') != 'click')
+            .select(subj.alias('subject'), F.lit('tool').alias('predicate'),
+                    F.concat(F.lit('tool_'), F.col('event_type')).alias('object'),
+                    F.lit(None).cast('string').alias('type')))
+    )
+    delta = (
+        ev.filter(F.col('event_id') % 3 == 0)
+        .select(subj.alias('subject'), F.lit('etype').alias('predicate'),
+                F.concat(F.lit('corrected_'), F.col('event_type')).alias('object'),
+                xs.alias('type'))
+        .unionByName(
+            ev.filter(F.col('event_id') % 5 == 0)
+            .select(subj.alias('subject'), F.lit('tool').alias('predicate'),
+                    F.lit('tool_extra').alias('object'),
+                    F.lit(None).cast('string').alias('type')))
+    )
+    return merge_triples(existing, delta)
+
+
 def q_stream_kg_triples(spark, sf_dir):
     """The north-star streaming ELT path end-to-end: transcript-shaped
     turns (mapped from events) streamed in TWO forced micro-batches
@@ -1070,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_graph_completion': q_kg_graph_completion,
         'kg_pagerank': q_kg_pagerank,
         'kg_degree_stats': q_kg_degree_stats,
+        'kg_incremental_merge': q_kg_incremental_merge,
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
@@ -1653,6 +1694,41 @@ o AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY 1),
 i AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY 1)
 SELECT id, coalesce(out_degree, 0) AS out_degree, coalesce(in_degree, 0) AS in_degree
 FROM o FULL OUTER JOIN i USING (id)
+"""
+
+    # Incremental merge: the single-valued branch mirrors the engine's
+    # struct-max aggregate as a row_number window ordered (__batch DESC,
+    # object DESC, type DESC) — identical lexicographic winner (oracle
+    # side may window: DuckDB isn't the thing being skew-audited).
+    sql['kg_incremental_merge'] = """
+WITH existing AS (
+  SELECT 'turn_' || event_id AS subject, 'etype' AS predicate,
+         event_type AS object, '<xs:string>' AS type, 0 AS b FROM events
+  UNION ALL
+  SELECT 'turn_' || event_id, 'user', user_id::varchar, '<xs:string>', 0 FROM events
+  UNION ALL
+  SELECT 'turn_' || event_id, 'tool', 'tool_' || event_type, NULL, 0
+  FROM events WHERE event_type != 'click'
+),
+delta AS (
+  SELECT 'turn_' || event_id AS subject, 'etype' AS predicate,
+         'corrected_' || event_type AS object, '<xs:string>' AS type, 1 AS b
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT 'turn_' || event_id, 'tool', 'tool_extra', NULL, 1
+  FROM events WHERE event_id % 5 = 0
+),
+tagged AS (SELECT * FROM existing UNION ALL SELECT * FROM delta),
+single AS (
+  SELECT subject, predicate, object, type FROM (
+    SELECT subject, predicate, object, type,
+           row_number() OVER (PARTITION BY subject, predicate
+                              ORDER BY b DESC, object DESC, type DESC) AS rn
+    FROM tagged WHERE type IS NOT NULL) WHERE rn = 1
+),
+edges AS (SELECT DISTINCT subject, predicate, object, type
+          FROM tagged WHERE type IS NULL)
+SELECT * FROM single UNION ALL SELECT * FROM edges
 """
 
     # Streaming triple extraction is batch-equivalent (stateless transform,

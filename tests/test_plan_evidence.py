@@ -195,3 +195,16 @@ def test_semantic_dedup_is_an_equi_join_on_cell(spark):
     assert 'CartesianProduct' not in plan
     assert 'BroadcastNestedLoopJoin' not in plan
     assert 'cell' in plan
+
+
+def test_incremental_merge_default_path_never_sort_aggregates(spark):
+    """merge_triples(assume_unique_keys=True): pure anti-joins — the plan
+    must contain no SortAggregate (var-length max) and no Window; the
+    single-valued branch joins on (subject, predicate) only."""
+    import __spark_entry__ as e
+
+    df = e.q_kg_incremental_merge(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert 'SortAggregate' not in plan
+    assert 'Window' not in plan
+    assert plan.count('LeftAnti') == 2, 'one anti-join per branch'

@@ -846,3 +846,59 @@ def test_pagerank_and_degree_stats(spark):
     assert cpr['c'] > cpr['b'] > cpr['a'] >= 0.05  # rank flows down the chain
     cdeg = {r['id']: (r['out_degree'], r['in_degree']) for r in degree_stats(chain).collect()}
     assert cdeg == {'a': (1, 0), 'b': (1, 1), 'c': (0, 1)}
+
+
+def test_merge_triples_upsert_semantics(spark):
+    """Dgraph-style merge: delta replaces single-valued predicates,
+    edges accumulate, same-batch duplicate writes resolve
+    deterministically (lexicographic max), untouched triples pass through."""
+    from dgraphpandas_spark.operators.canonicalize import merge_triples
+
+    schema = 'subject string, predicate string, object string, type string'
+    existing = spark.createDataFrame(
+        [
+            ('t1', 'role', 'user', '<xs:string>'),
+            ('t1', 'text', 'hello', '<xs:string>'),
+            ('t2', 'role', 'assistant', '<xs:string>'),
+            ('t1', 'tool', 'search', None),
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            ('t1', 'role', 'system', '<xs:string>'),   # replaces
+            ('t1', 'tool', 'search', None),            # duplicate edge → once
+            ('t1', 'tool', 'browse', None),            # new edge → accumulates
+            ('t3', 'role', 'zz', '<xs:string>'),       # brand-new subject
+        ],
+        schema,
+    )
+    expected = {
+        ('t1', 'role', 'system'),
+        ('t1', 'text', 'hello'),
+        ('t2', 'role', 'assistant'),
+        ('t1', 'tool', 'search'),
+        ('t1', 'tool', 'browse'),
+        ('t3', 'role', 'zz'),
+    }
+    for unique in (True, False):   # anti-join path and struct-max path agree
+        out = merge_triples(existing, delta, assume_unique_keys=unique).collect()
+        got = {(r['subject'], r['predicate'], r['object']) for r in out}
+        assert got == expected, f'assume_unique_keys={unique}'
+        assert len(out) == 6
+        # merge is idempotent: re-applying the same delta changes nothing
+        again = merge_triples(
+            merge_triples(existing, delta, assume_unique_keys=unique),
+            delta, assume_unique_keys=unique,
+        ).collect()
+        assert {(r['subject'], r['predicate'], r['object']) for r in again} == expected
+
+    # dirty delta (two same-batch writes to one key) needs the struct-max
+    # path: deterministic lexicographic winner, not run order
+    dirty = spark.createDataFrame(
+        [('t4', 'role', 'zz', '<xs:string>'), ('t4', 'role', 'aa', '<xs:string>')],
+        schema,
+    )
+    out = merge_triples(existing, dirty, assume_unique_keys=False).collect()
+    winners = {r['object'] for r in out if r['subject'] == 't4'}
+    assert winners == {'zz'}
