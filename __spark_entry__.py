@@ -1076,6 +1076,120 @@ def q_multimodal_wav_decode(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------- temporal ops
+
+
+def _us(col):
+    """Exact epoch-microseconds of a (possibly NTZ) timestamp column — the
+    session timezone is pinned UTC (session.py:36), so the NTZ→TZ cast is
+    the identity and matches DuckDB's epoch_us()."""
+    return F.unix_micros(F.col(col).cast('timestamp') if isinstance(col, str) else col.cast('timestamp'))
+
+
+def q_events_asof_join(spark, sf_dir):
+    """Backward as-of (point-in-time) join — Spark has no ASOF JOIN, DuckDB
+    does (the oracle uses it verbatim): each purchase event is joined to
+    the latest click of the same user at-or-before its timestamp.
+    Implementation (operators/temporal.py:asof_join) is the scalable
+    union-tag + single-sort + last(ignorenulls) formulation: ONE exchange
+    on user_id, no range-join candidate explosion.  Right side is deduped
+    to one row per (user, ts) (last writer by event_id) so both engines
+    are deterministic under timestamp ties."""
+    from pyspark.sql import Window
+
+    from dgraphpandas_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, 'events')
+    purchases = ev.filter(F.col('event_type') == 'purchase').select('user_id', 'event_id', 'ts')
+    w = Window.partitionBy('user_id', 'ts').orderBy(F.col('event_id').desc())
+    clicks = (
+        ev.filter(F.col('event_type') == 'click')
+        .select('user_id', 'ts', 'event_id', 'value')
+        .withColumn('__rn', F.row_number().over(w))
+        .filter(F.col('__rn') == 1)
+        .drop('__rn')
+    )
+    j = asof_join(purchases, clicks, on='user_id', left_ts='ts', right_cols=['event_id', 'value'])
+    return j.select(
+        'user_id',
+        'event_id',
+        _us('ts').alias('ts_us'),
+        F.col('event_id_right').alias('click_event_id'),
+        F.round(F.col('value_right'), 6).alias('click_value'),
+        (_us('ts') - _us('ts_right')).alias('gap_us'),
+    )
+
+
+def q_events_rolling(spark, sf_dir):
+    """Event-time rolling 1-hour aggregates per user (RANGE frame over
+    exact epoch-microsecond integers — both engines evaluate the identical
+    inclusive integer range, no float boundary drift).  The value sum is
+    carried as round(value*1e6) BIGINTs so windowed double-summation order
+    (Spark sliding frame vs DuckDB segment tree) cannot flip a digit.
+    ONE exchange on user_id; single sort shared by both frames."""
+    from dgraphpandas_spark.operators.temporal import rolling_agg
+
+    ev = _t(spark, sf_dir, 'events')
+    micro = F.round(F.col('value') * 1e6, 0).cast('long')
+    rolled = rolling_agg(
+        ev.withColumn('v_micro', micro),
+        key_col='user_id',
+        ts_col='ts',
+        window_s=3600,
+        aggs={'n_1h': F.count(F.lit(1)), 'v_sum_micro_1h': F.sum('v_micro')},
+    )
+    return rolled.select(
+        'user_id', 'event_id', _us('ts').alias('ts_us'),
+        'n_1h', 'v_sum_micro_1h',
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (SQL `percentile` —
+    both engines use the linear-interpolation definition; DuckDB's is
+    `quantile_cont`).  At 100 TB the scale path is `approx_percentile`
+    (KLL/GK sketch, map-side mergeable — rel-error pinned by pytest);
+    the exact variant here is the oracle-checkable ground truth."""
+    ev = _t(spark, sf_dir, 'events')
+    pct = F.expr('percentile(value, array(0.25D, 0.5D, 0.75D))')
+    return (
+        ev.groupBy('event_type')
+        .agg(F.count('*').alias('n'), pct.alias('p'))
+        .select(
+            'event_type', 'n',
+            F.round(F.col('p')[0], 6).alias('p25'),
+            F.round(F.col('p')[1], 6).alias('p50'),
+            F.round(F.col('p')[2], 6).alias('p75'),
+        )
+    )
+
+
+def q_kg_triple_history(spark, sf_dir):
+    """SCD2 triple versioning: collapse each customer's order-status
+    change log into validity intervals — "(customer, last_orderstatus)
+    held O from t1 until t2" (valid_to NULL = current).  The temporal
+    complement of kg_incremental_merge's latest-state upserts (reference
+    dgraphpandas always emits latest state, rdf.py:69-84).  One exchange
+    on the key; dedup/lag/lead share the sort (operators/temporal.py)."""
+    from dgraphpandas_spark.operators.temporal import scd2_history
+
+    orders = _t(spark, sf_dir, 'orders')
+    hist = scd2_history(
+        orders,
+        key_cols=['o_custkey'],
+        ts_col='o_orderdate',
+        value_col='o_orderstatus',
+        tiebreak_cols=['o_orderkey'],
+    )
+    return hist.select(
+        F.concat(F.lit('customer_'), F.col('o_custkey')).alias('subject'),
+        F.lit('last_orderstatus').alias('predicate'),
+        F.col('o_orderstatus').alias('object'),
+        _us('valid_from').alias('valid_from_us'),
+        _us('valid_to').alias('valid_to_us'),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction (intrinsic + edges) on sf0.001."""
     sf_dir = '/root/testdata/sf0.001'
@@ -1128,6 +1242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_sample_stratified': q_corpus_sample_stratified,
         'text_vocab_topk': q_text_vocab_topk,
         'events_sessionize': q_events_sessionize,
+        'events_asof_join': q_events_asof_join,
+        'events_rolling': q_events_rolling,
+        'events_quantiles': q_events_quantiles,
+        'kg_triple_history': q_kg_triple_history,
         'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
         'text_repetition': q_text_repetition,
@@ -1908,6 +2026,53 @@ SELECT user_id, session_idx, count(*) AS n_events,
        min({_EPO}) AS start_s, max({_EPO}) AS end_s,
        max({_EPO}) - min({_EPO}) AS duration_s
 FROM s GROUP BY 1, 2
+"""
+
+    sql['events_asof_join'] = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+       c.event_id AS click_event_id, round(c.value, 6) AS click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+    sql['events_rolling'] = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_1h,
+       sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS v_sum_micro_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    sql['events_quantiles'] = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY 1
+"""
+
+    sql['kg_triple_history'] = """
+WITH ded AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+), runs AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+  FROM ded
+), chg AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus FROM runs
+  WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT 'customer_' || o_custkey AS subject, 'last_orderstatus' AS predicate,
+       o_orderstatus AS object,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)) AS valid_to_us
+FROM chg
 """
 
     toks = _TOKS.format(col='text')

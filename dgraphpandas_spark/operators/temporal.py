@@ -1,0 +1,164 @@
+"""Temporal operators: as-of (point-in-time) join, rolling event-time
+aggregation, and SCD2 triple history.
+
+Engine additions beyond the reference (kiran94/dgraphpandas emits
+point-in-time triples and stops — `dgraphpandas/strategies/horizontal.py`
+has no temporal semantics): a transcript/event KG at 10^12-turn scale needs
+to answer "what was the state of this entity *when* this turn happened",
+which is exactly the as-of join + SCD2 pair.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do); the classic scalable
+formulation used here is union-tag + partitioned sort + ``last_value(...,
+ignorenulls)`` — ONE shuffle on the join key, no range-join explosion, no
+per-row Python.  Wall-clock is a single sort per key partition; skewed keys
+are handled by AQE like any other single-key shuffle.
+"""
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000  # microseconds per second — exact integer event-time math
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = 'ts',
+    right_ts: str | None = None,
+    right_cols: Sequence[str] = (),
+    suffix: str = '_right',
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the columns of the
+    single right row with the greatest ``right_ts <= left_ts`` for the same
+    ``on`` key (inclusive, DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
+    semantics).  Left rows with no prior right row keep NULLs.
+
+    Ties inside ``right`` on (key, ts) must be resolved by the caller
+    (dedup to one row per key+ts) — the operator is deterministic given
+    distinct right timestamps per key.
+
+    Plan shape: union-tag both sides → ONE exchange on ``on`` → per-key
+    sort by (ts, side) with the right row ordered BEFORE the left row at
+    equal ts (so an equal-timestamp right row is visible to the left row)
+    → ``last(struct, ignorenulls=True)`` running window → filter back to
+    left rows.  Never materializes the O(|L|·|R|) candidate space a range
+    join would; at 100 TB this is one sort-merge pass per key partition.
+
+    ``tolerance_s`` optionally voids matches older than the window
+    (match ts < left ts − tolerance ⇒ NULLs), evaluated post-window so the
+    plan shape is unchanged.
+    """
+    right_ts = right_ts or left_ts
+    right_cols = list(right_cols) or [c for c in right.columns if c not in (on, right_ts)]
+
+    payload = F.struct(
+        F.col(right_ts).alias('__ats'), *[F.col(c) for c in right_cols]
+    ).alias('__asof')
+    r = right.select(
+        F.col(on).alias('__key'),
+        F.col(right_ts).cast('timestamp').alias('__ts'),
+        F.lit(0).alias('__side'),
+        payload,
+    )
+    l = left.select(  # noqa: E741
+        F.col(on).alias('__key'),
+        F.col(left_ts).cast('timestamp').alias('__ts'),
+        F.lit(1).alias('__side'),
+        F.lit(None).cast(r.schema['__asof'].dataType).alias('__asof'),
+        *[F.col(c) for c in left.columns],
+    )
+
+    w = (
+        Window.partitionBy('__key')
+        .orderBy('__ts', '__side')
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l, allowMissingColumns=True).withColumn(
+        '__match', F.last('__asof', ignorenulls=True).over(w)
+    )
+    if tolerance_s is not None:
+        in_window = F.col('__match.__ats').cast('timestamp') >= (
+            F.col('__ts') - F.expr(f'INTERVAL {int(tolerance_s)} SECOND')
+        )
+        merged = merged.withColumn(
+            '__match', F.when(in_window, F.col('__match'))
+        )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col('__match.__ats').alias(left_ts + suffix))
+    out_cols.extend(F.col(f'__match.{c}').alias(c + suffix) for c in right_cols)
+    return merged.filter(F.col('__side') == 1).select(*out_cols)
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_s: int,
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """Event-time rolling aggregation: every row gains ``aggs`` computed
+    over the rows of the same key whose timestamp lies in
+    ``[ts - window_s, ts]`` (both ends inclusive — SQL ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW``).
+
+    The frame is a RANGE window over *exact integer* epoch-microseconds
+    (never float seconds: a double epoch loses sub-µs precision past 2^53
+    and makes boundary rows engine-dependent).  ONE exchange on the key;
+    the range frame is evaluated by Spark's sliding-frame executor in a
+    single pass per key partition — no self-join, no explode.
+    """
+    us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_s * _US, 0)
+    )
+    # one select, not chained withColumn: all frames land in a single
+    # Window physical node over one sort (chained withColumn planned a
+    # second no-op Sort+Window pair when measured)
+    return df.select('*', *[col.over(w).alias(name) for name, col in aggs.items()])
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a change log into SCD2 validity intervals: one row per
+    (key, value-run) with ``valid_from`` / ``valid_to`` (NULL = still
+    current).  The KG use: triple versioning — "(subject, predicate) held
+    object O from t1 until t2" — the temporal complement of
+    ``merge_triples`` (which keeps only the latest state; reference
+    dgraphpandas always emits latest-state upserts, rdf.py:69-84).
+
+    ONE exchange on the key, total (measured via explain): every window —
+    same-ts last-writer dedup, run-length change detection, interval close
+    — partitions by ``key_cols`` alone and shares one sort.  The dedup is
+    the lead-trick (a row is its timestamp's last writer iff the next row
+    in (ts, tiebreak) order has a different ts), not a row_number over
+    (key, ts) — that variant plans a second exchange hashed on (key, ts).
+    Shuffles key+value+ts rows only.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w_ord = Window.partitionBy(*key_cols).orderBy(*order)
+    w_seq = Window.partitionBy(*key_cols).orderBy(ts_col)
+
+    deduped = df.withColumn('__next_ts', F.lead(ts_col).over(w_ord)).filter(
+        F.col('__next_ts').isNull() | (F.col('__next_ts') != F.col(ts_col))
+    )
+    changes = deduped.withColumn('__prev', F.lag(value_col).over(w_seq)).filter(
+        F.col('__prev').isNull() | (F.col('__prev') != F.col(value_col))
+    )
+    return changes.select(
+        *key_cols,
+        F.col(value_col),
+        F.col(ts_col).alias('valid_from'),
+        F.lead(ts_col).over(w_seq).alias('valid_to'),
+    )
