@@ -873,6 +873,40 @@ def q_kg_degree_stats(spark, sf_dir):
     return degree_stats(_conv_tool_edges(spark, sf_dir))
 
 
+def q_kg_orphan_edges(spark, sf_dir):
+    """Referential-integrity audit (operators/validate.py): per-predicate
+    dangling-reference counts of the orders→customer edge triples against
+    a node universe restricted to the BUILDING market segment (so orphans
+    exist by construction).  Edges are collapsed to distinct (predicate,
+    object) groups with a map-side partial BEFORE the anti-join — the
+    audit never shuffles raw edge rows."""
+    from dgraphpandas_spark.operators.validate import orphan_edges
+
+    _, edges = horizontal_transform(
+        _t(spark, sf_dir, 'orders'), ORDERS_OVERRIDE_CONFIG, 'order'
+    )
+    nodes = (
+        _t(spark, sf_dir, 'customer')
+        .filter(F.col('c_mktsegment') == 'BUILDING')
+        .select(F.concat(F.lit('customer_'), F.col('c_custkey')).alias('subject'))
+    )
+    return orphan_edges(edges, nodes)
+
+
+def q_kg_khop(spark, sf_dir):
+    """Bounded k-hop neighborhood expansion (operators/graph.py:k_hop —
+    the batch twin of Dgraph's recurse block): BFS frontier sizes by
+    minimum hop distance from the tool_error entity over the
+    conversation↔tool graph.  Per hop: frontier equi-join (AQE broadcasts
+    the small frontier) + visited anti-join, node-id strings only; the
+    DuckDB oracle is a bounded recursive CTE with a min-hop rollup."""
+    from dgraphpandas_spark.operators.graph import k_hop
+
+    seeds = spark.createDataFrame([('tool_error',)], 'id string')
+    reached = k_hop(_conv_tool_edges(spark, sf_dir), seeds, k=3)
+    return reached.groupBy('hop').agg(F.count('*').alias('n_nodes'))
+
+
 def q_kg_incremental_merge(spark, sf_dir):
     """Incremental KG merge (Dgraph upsert semantics,
     operators/canonicalize.py:merge_triples): a delta batch REPLACES
@@ -1225,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_pagerank': q_kg_pagerank,
         'kg_degree_stats': q_kg_degree_stats,
         'kg_incremental_merge': q_kg_incremental_merge,
+        'kg_orphan_edges': q_kg_orphan_edges,
+        'kg_khop': q_kg_khop,
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
@@ -1806,6 +1842,30 @@ pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
 e AS (SELECT conv AS src, tool AS dst FROM pairs
       UNION ALL SELECT tool AS src, conv AS dst FROM pairs)"""
     sql['kg_pagerank'] = _pagerank_sql(_PR_EDGES, iters=3, damping=0.85)
+    sql['kg_khop'] = f"""
+WITH RECURSIVE {_PR_EDGES.strip()},
+walk(id, hop) AS (
+  SELECT 'tool_error', 0
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.hop < 3
+),
+mh AS (SELECT id, min(hop) AS hop FROM walk GROUP BY 1)
+SELECT hop, count(*) AS n_nodes FROM mh GROUP BY 1
+"""
+    sql['kg_orphan_edges'] = """
+WITH eobj AS (SELECT 'customer' AS predicate, 'customer_' || o_custkey AS obj FROM orders),
+refs AS (SELECT predicate, obj, count(*) AS n FROM eobj GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT 'customer_' || c_custkey AS obj FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+orph AS (SELECT r.* FROM refs r LEFT JOIN nodes n ON r.obj = n.obj WHERE n.obj IS NULL),
+tot AS (SELECT predicate, CAST(sum(n) AS BIGINT) AS n_edges FROM refs GROUP BY 1),
+ost AS (SELECT predicate, CAST(sum(n) AS BIGINT) AS n_orphan_edges,
+               count(*) AS n_orphan_objects FROM orph GROUP BY 1)
+SELECT t.predicate, t.n_edges,
+       coalesce(o.n_orphan_edges, 0) AS n_orphan_edges,
+       coalesce(o.n_orphan_objects, 0) AS n_orphan_objects
+FROM tot t LEFT JOIN ost o ON t.predicate = o.predicate
+"""
     sql['kg_degree_stats'] = f"""
 WITH {_PR_EDGES},
 o AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY 1),

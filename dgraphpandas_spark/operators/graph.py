@@ -76,6 +76,46 @@ def pagerank(
     return pr
 
 
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = 'src',
+    dst: str = 'dst',
+) -> DataFrame:
+    """Bounded-depth BFS: minimum hop distance (0..k) from the seed set
+    for every reachable node.  Returns DataFrame[id, hop].
+
+    The KG use: neighborhood expansion around an entity ("everything
+    within 3 hops of this tool") — the query Dgraph answers with a
+    recurse block; here it is k driver-bounded rounds of
+    frontier-join + anti-join, the same iterate-on-DataFrames shape as
+    ``pagerank``/``dedup.connected_components``.
+
+    Scale shape: per hop ONE equi-join of the current frontier against
+    the edge list keyed on ``src`` (AQE broadcasts the frontier while it
+    is small — the common case for entity neighborhoods) and ONE
+    anti-join against the visited set — both shuffle node-id strings
+    only, never payloads.  Frontiers are ``localCheckpoint``-ed
+    (cluster: reliable checkpoint) so lineage stays O(1) per round; k is
+    a driver constant, so there are no data-dependent driver actions at
+    all — the whole expansion is one lazy plan per hop.
+    """
+    e = edges.select(F.col(src).alias('src'), F.col(dst).alias('dst'))
+    frontier = seeds.select(F.col(seeds.columns[0]).alias('id')).distinct().localCheckpoint()
+    visited = frontier.withColumn('hop', F.lit(0))
+    for h in range(1, k + 1):
+        frontier = (
+            e.join(frontier.withColumnRenamed('id', 'src'), 'src')
+            .select(F.col('dst').alias('id'))
+            .distinct()
+            .join(visited.select('id'), 'id', 'left_anti')
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(frontier.withColumn('hop', F.lit(h)))
+    return visited
+
+
 def degree_stats(edges: DataFrame, src: str = 'src', dst: str = 'dst') -> DataFrame:
     """Per-node (out_degree, in_degree) — one shuffle each side, full-outer
     merged on id.  Returns DataFrame[id, out_degree, in_degree]."""

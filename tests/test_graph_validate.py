@@ -1,0 +1,70 @@
+"""k-hop BFS (operators/graph.py:k_hop) and referential-integrity audit
+(operators/validate.py:orphan_edges) on crafted graphs where distances,
+cycles, and dangling references are known by construction."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dgraphpandas_spark.operators.graph import k_hop
+from dgraphpandas_spark.operators.validate import orphan_edges
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, 'src string, dst string')
+
+
+def test_k_hop_min_distance_and_bound(spark):
+    # chain a→b→c→d plus shortcut a→c: min-hop wins, k bounds the walk
+    e = _edges(spark, [('a', 'b'), ('b', 'c'), ('c', 'd'), ('a', 'c')])
+    seeds = spark.createDataFrame([('a',)], 'id string')
+    got = {r['id']: r['hop'] for r in k_hop(e, seeds, k=2).collect()}
+    assert got == {'a': 0, 'b': 1, 'c': 1, 'd': 2}  # c via shortcut, d inside k=2
+    got1 = {r['id']: r['hop'] for r in k_hop(e, seeds, k=1).collect()}
+    assert got1 == {'a': 0, 'b': 1, 'c': 1}         # d beyond the bound
+
+
+def test_k_hop_cycle_terminates(spark):
+    e = _edges(spark, [('a', 'b'), ('b', 'a')])
+    seeds = spark.createDataFrame([('a',)], 'id string')
+    got = {r['id']: r['hop'] for r in k_hop(e, seeds, k=5).collect()}
+    assert got == {'a': 0, 'b': 1}  # visited anti-join stops the ping-pong
+
+
+def test_k_hop_multi_seed(spark):
+    e = _edges(spark, [('a', 'b'), ('x', 'y'), ('y', 'b')])
+    seeds = spark.createDataFrame([('a',), ('x',)], 'id string')
+    got = {r['id']: r['hop'] for r in k_hop(e, seeds, k=2).collect()}
+    assert got == {'a': 0, 'x': 0, 'b': 1, 'y': 1}
+
+
+def test_orphan_edges_counts_and_zero_row(spark):
+    edges = spark.createDataFrame(
+        [
+            ('e1', 'knows', 'n1'),      # resolves
+            ('e2', 'knows', 'ghost'),   # orphan, referenced twice
+            ('e3', 'knows', 'ghost'),
+            ('e4', 'uses', 'n2'),       # predicate with zero orphans
+        ],
+        'subject string, predicate string, object string',
+    )
+    nodes = spark.createDataFrame([('n1',), ('n2',)], 'subject string')
+    got = {
+        r['predicate']: (r['n_edges'], r['n_orphan_edges'], r['n_orphan_objects'])
+        for r in orphan_edges(edges, nodes).collect()
+    }
+    assert got == {'knows': (3, 2, 1), 'uses': (1, 0, 0)}
+
+
+def test_orphan_edges_plan_collapses_before_antijoin(spark):
+    """The anti-join must run on the (predicate, object) aggregate, not raw
+    edges — the plan has a partial HashAggregate below the join."""
+    edges = spark.createDataFrame(
+        [('s', 'p', 'o')], 'subject string, predicate string, object string'
+    )
+    nodes = spark.createDataFrame([('o',)], 'subject string')
+    plan = orphan_edges(edges, nodes)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+    )
+    anti = plan.find('LeftAnti')
+    agg = plan.find('HashAggregate')
+    assert anti != -1 and agg != -1
