@@ -306,6 +306,29 @@ def q_kg_rdf_gzip_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_orc_roundtrip(spark, sf_dir):
+    """S1 source-format coverage beyond parquet/CSV/gzip-text: write the
+    events projection to ORC (Spark's other native columnar format — same
+    vectorized-reader pushdown/pruning contract as parquet), read it back
+    through the ``sources.table_format.read_table`` seam, and aggregate.
+    Doubles survive ORC bit-exactly, so the micro-integer sums match the
+    oracle computed straight off the parquet view."""
+    import tempfile
+
+    from dgraphpandas_spark.sources.table_format import read_table
+
+    out = os.path.join(tempfile.mkdtemp(prefix='orc_rt_'), 'events.orc')
+    ev = _t(spark, sf_dir, 'events').select('event_id', 'event_type', 'value')
+    ev.write.mode('overwrite').orc(out)
+    back = read_table(spark, out)
+    return back.groupBy('event_type').agg(
+        F.count('*').alias('n'),
+        F.sum(F.round(F.col('value') * 1e6, 0).cast('long')).alias('v_sum_micro'),
+        F.min('event_id').alias('min_id'),
+        F.max('event_id').alias('max_id'),
+    )
+
+
 CALLABLE_VERTICAL_CONFIG = {
     'transform': 'vertical',
     'files': {
@@ -464,6 +487,21 @@ def q_dedup_clusters(spark, sf_dir):
         _documents_with_dups(spark, sf_dir), n=3, bands=4, threshold=0.8
     )
     return out.withColumn('keep', F.col('keep').cast('int'))
+
+
+def q_dedup_blocks(spark, sf_dir):
+    """Sub-document boilerplate removal (CCNet/RefinedWeb line-level dedup
+    generalized to 8-token blocks — operators/dedup.py:block_dedup) over a
+    corpus where 20% of documents have a planted verbatim copy: every
+    block of a copied document crosses the >1-distinct-docs threshold and
+    is stripped (clean_fp = md5('')), untouched documents keep all blocks.
+    Within-document repeats survive (count DISTINCT doc per block)."""
+    d = _t(spark, sf_dir, 'documents')
+    corpus = d.select('doc_id', 'text').unionByName(
+        d.filter(F.col('doc_id') % 5 == 0)
+        .select((F.col('doc_id') + 1_000_000).alias('doc_id'), 'text')
+    )
+    return DD.block_dedup(corpus, block=8, max_docs=1)
 
 
 def q_corpus_curation(spark, sf_dir):
@@ -1252,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_schema_lines': q_kg_schema_lines,
         'kg_types_lines': q_kg_types_lines,
         'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
+        'source_orc_roundtrip': q_source_orc_roundtrip,
         'kg_callable_config': q_kg_callable_config,
         'kg_edge_id_convention': q_kg_edge_id_convention,
         'kg_salted_dedup': q_kg_salted_dedup,
@@ -1271,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_clusters': q_dedup_clusters,
         'dedup_simhash': q_dedup_simhash,
+        'dedup_blocks': q_dedup_blocks,
         'corpus_curation': q_corpus_curation,
         'corpus_split': q_corpus_split,
         'corpus_pack': q_corpus_pack,
@@ -1966,6 +2006,27 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
     sql['dedup_clusters'] = _clusters_sql(bands=4, n=3, threshold=0.8)
     sql['dedup_simhash'] = _simhash_sql(bits=16)
 
+    _toks_txt = _TOKS.format(col='text')
+    sql['dedup_blocks'] = f"""
+WITH docs AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT doc_id, {_toks_txt} AS t FROM docs),
+blk AS (SELECT doc_id, i AS pos,
+               array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ') AS btext
+        FROM toks, unnest(range(0, CAST(ceil(len(t) / 8.0) AS INT))) AS u(i)),
+h AS (SELECT doc_id, pos, btext, md5(btext) AS bh FROM blk),
+dup AS (SELECT bh FROM h GROUP BY bh HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT h.* FROM h LEFT JOIN dup USING (bh) WHERE dup.bh IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(btext, ' ' ORDER BY pos) AS clean
+        FROM kept GROUP BY 1),
+nb AS (SELECT doc_id, CAST(ceil(len(t) / 8.0) AS INT) AS n_blocks FROM toks)
+SELECT nb.doc_id, nb.n_blocks,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(agg.clean, '')) AS clean_fp
+FROM nb LEFT JOIN agg USING (doc_id)
+"""
+
     passing_cte = (
         "docs AS (SELECT doc_id, text FROM scored "
         "WHERE quality >= 0.5 AND lang_pred = 'en')"
@@ -2086,6 +2147,13 @@ SELECT user_id, session_idx, count(*) AS n_events,
        min({_EPO}) AS start_s, max({_EPO}) AS end_s,
        max({_EPO}) - min({_EPO}) AS duration_s
 FROM s GROUP BY 1, 2
+"""
+
+    sql['source_orc_roundtrip'] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v_sum_micro,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1
 """
 
     sql['events_asof_join'] = """

@@ -455,3 +455,78 @@ def semantic_dedup(
             F.coalesce(~F.col('dup'), F.lit(True)).alias('keep'),
         )
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    block: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Sub-document exact dedup at token-block granularity (the line-level
+    dedup of CCNet/RefinedWeb, generalized to fixed-size token blocks for
+    corpora whose documents carry no newline structure): any block of
+    ``block`` consecutive normalized tokens appearing in more than
+    ``max_docs`` DISTINCT documents is removed from every document; the
+    survivors are re-joined in original order.  Boilerplate (headers,
+    navigation, license banners) repeats across documents verbatim — this
+    strips it without dropping whole documents the way doc-level dedup
+    would.  Returns (id, n_blocks, n_kept, clean_fp) where clean_fp is the
+    md5 of the cleaned text ('' when every block was boilerplate — the
+    left join back to the id universe keeps fully-stripped docs visible).
+
+    Scale shape: blocking is a per-row expression + posexplode (no
+    shuffle); the frequency table is ONE hash-groupBy on the block hash
+    (map-side partial absorbs within-doc repeats; count(DISTINCT doc) is
+    the two-phase expanded distinct — swap for approx_count_distinct at
+    100 TB, documented trade); the drop step is a LEFT ANTI join of blocks
+    against the *dup-hash list only* (boilerplate hash count ≪ block
+    count, AQE broadcasts it when small); reassembly is one groupBy on the
+    doc id.  Within-document repeats (count_distinct = 1) are preserved —
+    this operator removes cross-document boilerplate, not self-repetition
+    (that is text_repetition's job).
+    """
+    t = tokens(F.col(text_col))
+    src = df.select(
+        F.col(id_col).alias('id'),
+        t.alias('__toks'),
+        F.when(F.size(t) > 0, F.ceil(F.size(t) / F.lit(block)))
+        .otherwise(F.lit(0)).cast('int').alias('n_blocks'),
+    )
+    blocks_expr = F.when(
+        F.col('n_blocks') > 0,
+        F.expr(
+            f"transform(sequence(0, n_blocks - 1), "
+            f"i -> array_join(slice(__toks, i * {block} + 1, {block}), ' '))"
+        ),
+    ).otherwise(F.array().cast('array<string>'))
+    exploded = src.select(
+        'id', 'n_blocks', F.posexplode_outer(blocks_expr).alias('pos', 'btext')
+    ).withColumn('bh', F.md5(F.col('btext').cast('binary')))
+
+    dup_hashes = (
+        exploded.filter(F.col('bh').isNotNull())
+        .groupBy('bh')
+        .agg(F.count_distinct('id').alias('n_docs'))
+        .filter(F.col('n_docs') > max_docs)
+        .select('bh')
+    )
+    kept = exploded.filter(F.col('bh').isNotNull()).join(dup_hashes, 'bh', 'left_anti')
+    reassembled = kept.groupBy('id').agg(
+        F.count('*').alias('n_kept'),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('pos', 'btext'))),
+                lambda s: s['btext'],
+            ),
+            ' ',
+        ).alias('__clean'),
+    )
+    ids = src.select('id', 'n_blocks')
+    return ids.join(reassembled, 'id', 'left').select(
+        F.col('id').alias(id_col),
+        'n_blocks',
+        F.coalesce('n_kept', F.lit(0)).alias('n_kept'),
+        F.md5(F.coalesce(F.col('__clean'), F.lit('')).cast('binary')).alias('clean_fp'),
+    )

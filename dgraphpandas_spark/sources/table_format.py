@@ -35,7 +35,7 @@ def is_path(identifier: str) -> bool:
     to ``spark.read.table`` and failing with a confusing table-not-found."""
     return (
         '/' in identifier
-        or identifier.endswith(('.parquet', '.pq', '.csv'))
+        or identifier.endswith(('.parquet', '.pq', '.csv', '.orc'))
         or os.path.exists(identifier)
     )
 
@@ -53,6 +53,11 @@ def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     if is_path(identifier):
         if identifier.endswith('.csv'):
             return spark.read.option('header', True).option('inferSchema', True).csv(identifier)
+        if identifier.endswith('.orc'):
+            # ORC is the other Spark-native columnar source — same
+            # pushdown/pruning contract as parquet (both go through the
+            # vectorized DSv2 readers)
+            return spark.read.orc(identifier)
         return spark.read.parquet(identifier)
     return spark.read.table(identifier)
 

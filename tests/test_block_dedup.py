@@ -1,0 +1,66 @@
+"""Block-level boilerplate dedup (operators/dedup.py:block_dedup) and the
+ORC branch of the table-format seam — crafted inputs where every rule
+(cross-doc drop, within-doc preserve, full strip, trailing partial block)
+is present by construction."""
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dgraphpandas_spark.operators.dedup import block_dedup
+from dgraphpandas_spark.sources.table_format import is_path, read_table
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_block_dedup_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 'a b c d x y'),    # shares blocks [a b] [c d] with doc 2
+            (2, 'a b c d q r'),
+            (3, 'zz ww'),          # untouched
+            (4, 'p q p q'),        # within-doc repeat — must survive
+            (5, 'a b c d'),        # fully boilerplate — stripped to ''
+        ],
+        'doc_id int, text string',
+    )
+    out = {
+        r['doc_id']: (r['n_blocks'], r['n_kept'], r['clean_fp'])
+        for r in block_dedup(df, block=2, max_docs=1).collect()
+    }
+    assert out[1] == (3, 1, _md5('x y'))
+    assert out[2] == (3, 1, _md5('q r'))
+    assert out[3] == (1, 1, _md5('zz ww'))
+    assert out[4] == (2, 2, _md5('p q p q'))   # self-repeat is NOT boilerplate
+    assert out[5] == (2, 0, _md5(''))          # fully-stripped doc stays visible
+
+
+def test_block_dedup_trailing_partial_block_and_order(spark):
+    # 5 tokens at block=2 → blocks [a b] [c d] [e]; dropping the middle
+    # block must keep original order of the survivors
+    df = spark.createDataFrame(
+        [(1, 'a b c d e'), (2, 'x x c d y')], 'doc_id int, text string'
+    )
+    out = {
+        r['doc_id']: (r['n_blocks'], r['n_kept'], r['clean_fp'])
+        for r in block_dedup(df, block=2, max_docs=1).collect()
+    }
+    assert out[1] == (3, 2, _md5('a b e'))
+    assert out[2] == (3, 2, _md5('x x y'))
+
+
+def test_orc_seam_roundtrip(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix='orc_seam_'), 't.orc')
+    assert is_path(path)
+    df = spark.range(100).select(
+        F.col('id'), (F.col('id') * 2).cast('double').alias('v')
+    )
+    df.write.mode('overwrite').orc(path)
+    back = read_table(spark, path)
+    assert back.count() == 100
+    assert back.agg(F.sum('v')).collect()[0][0] == float(sum(i * 2 for i in range(100)))
