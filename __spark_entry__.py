@@ -666,6 +666,26 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_text_topk_per_lang(spark, sf_dir):
+    """Top-3 documents by quality score per language — the grouped top-k
+    idiom.  Ranking runs on the 6-dp ROUNDED score (so both engines rank
+    the identical values; ties broken by doc_id).  Spark plans a partial
+    WindowGroupLimit below the exchange: each map task forwards only its
+    local top-3 per lang, so the shuffle carries O(groups·k), not all
+    rows — the plan-evidence test pins it."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, 'documents').select(
+        'doc_id', 'lang', F.round(TX.quality_score(F.col('text')), 6).alias('quality')
+    )
+    w = Window.partitionBy('lang').orderBy(F.col('quality').desc(), F.col('doc_id').asc())
+    return (
+        d.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= 3)
+        .select('lang', 'rank', 'doc_id', 'quality')
+    )
+
+
 def q_text_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints: distinct window-minima of
     k-gram hashes per document, exploded to (doc_id, fp) rows.  One fused
@@ -943,6 +963,41 @@ def q_kg_khop(spark, sf_dir):
     seeds = spark.createDataFrame([('tool_error',)], 'id string')
     reached = k_hop(_conv_tool_edges(spark, sf_dir), seeds, k=3)
     return reached.groupBy('hop').agg(F.count('*').alias('n_nodes'))
+
+
+def _conv_tool_pairs(spark, sf_dir):
+    """Directed conversation→tool bipartite slice (the un-symmetrized half
+    of _conv_tool_edges)."""
+    ev = _t(spark, sf_dir, 'events')
+    return (
+        ev.filter(F.col('event_type') != 'click')
+        .select(
+            F.concat(F.lit('u'), F.col('user_id')).alias('conv'),
+            F.concat(F.lit('tool_'), F.col('event_type')).alias('tool'),
+        )
+        .distinct()
+    )
+
+
+def q_kg_tool_cooccurrence(spark, sf_dir):
+    """Bipartite projection (operators/graph.py:bipartite_project): tool
+    co-usage graph — tools connected iff they share a conversation,
+    weighted by distinct shared conversations.  Hot-src degree cap ON by
+    default (a no-op at this data's max degree of 4, so the oracle needn't
+    mirror it); the projection is an equi-join on conv, never all-pairs."""
+    from dgraphpandas_spark.operators.graph import bipartite_project
+
+    return bipartite_project(_conv_tool_pairs(spark, sf_dir), src='conv', dst='tool')
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Triangle count of the tool co-usage projection via the directed
+    low→high orientation (operators/graph.py:triangle_count) — each
+    triangle counted once, hub fan-out capped by higher-id neighbors."""
+    from dgraphpandas_spark.operators.graph import bipartite_project, triangle_count
+
+    proj = bipartite_project(_conv_tool_pairs(spark, sf_dir), src='conv', dst='tool')
+    return triangle_count(proj.select('a', 'b'))
 
 
 def q_kg_incremental_merge(spark, sf_dir):
@@ -1300,6 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_incremental_merge': q_kg_incremental_merge,
         'kg_orphan_edges': q_kg_orphan_edges,
         'kg_khop': q_kg_khop,
+        'kg_tool_cooccurrence': q_kg_tool_cooccurrence,
+        'kg_triangles': q_kg_triangles,
+        'text_topk_per_lang': q_text_topk_per_lang,
         'stream_event_windows': q_stream_event_windows,
         'stream_stateful_sessions': q_stream_stateful_sessions,
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
@@ -1892,6 +1950,31 @@ walk(id, hop) AS (
 mh AS (SELECT id, min(hop) AS hop FROM walk GROUP BY 1)
 SELECT hop, count(*) AS n_nodes FROM mh GROUP BY 1
 """
+    _COOC = """
+pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
+          FROM events WHERE event_type != 'click'),
+proj AS (SELECT p1.tool AS a, p2.tool AS b, count(*) AS weight
+         FROM pairs p1 JOIN pairs p2 ON p1.conv = p2.conv AND p1.tool < p2.tool
+         GROUP BY 1, 2)"""
+    sql['kg_tool_cooccurrence'] = f"WITH {_COOC}\nSELECT a, b, weight FROM proj"
+    sql['kg_triangles'] = f"""
+WITH {_COOC}
+SELECT count(*) AS n_triangles
+FROM proj e1
+JOIN proj e2 ON e2.a = e1.b
+JOIN proj e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+    sql['text_topk_per_lang'] = f"""
+WITH scored AS (SELECT doc_id, lang, {_quality_sql()} AS quality FROM documents),
+ranked AS (SELECT lang, doc_id, quality,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY quality DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT lang, CAST(rank AS INT) AS rank, doc_id, quality
+FROM ranked WHERE rank <= 3
+"""
+
     sql['kg_orphan_edges'] = """
 WITH eobj AS (SELECT 'customer' AS predicate, 'customer_' || o_custkey AS obj FROM orders),
 refs AS (SELECT predicate, obj, count(*) AS n FROM eobj GROUP BY 1, 2),

@@ -116,6 +116,75 @@ def k_hop(
     return visited
 
 
+def bipartite_project(
+    edges: DataFrame,
+    src: str = 'src',
+    dst: str = 'dst',
+    max_src_degree: int | None = 1000,
+) -> DataFrame:
+    """Project a bipartite edge list onto the ``dst`` side: two dst nodes
+    are connected iff they share a src, weighted by the number of DISTINCT
+    shared srcs.  Returns DataFrame[a, b, weight] with ``a < b``
+    (undirected, each pair once).
+
+    The KG use: a conversation↔tool graph projects to a tool co-usage
+    graph ("which tools appear in the same conversations") — the standard
+    entity-affinity view.
+
+    Scale shape: the projection is the textbook bipartite explosion — a
+    src with degree d emits d² pairs, so one hot conversation touching
+    10^5 tools would emit 10^10 rows.  ``max_src_degree`` is therefore ON
+    by default (same pattern as dedup's ``max_df`` hot-shingle guard):
+    srcs above the cap are dropped from the projection via a key-only
+    aggregate + broadcast-friendly anti-join BEFORE the self-join.  The
+    self-join itself is an equi-join on src (never all-pairs); the final
+    weight rollup is a hash-groupBy on the (a, b) pair with map-side
+    partials.  Edges are deduped to DISTINCT (src, dst) first so weight
+    counts conversations, not event multiplicity.
+    """
+    e = edges.select(F.col(src).alias('src'), F.col(dst).alias('dst')).distinct()
+    if max_src_degree is not None:
+        hot = (
+            e.groupBy('src')
+            .agg(F.count('*').alias('d'))
+            .filter(F.col('d') > max_src_degree)
+            .select('src')
+        )
+        e = e.join(hot, 'src', 'left_anti')
+    a = e.select('src', F.col('dst').alias('a'))
+    b = e.select('src', F.col('dst').alias('b'))
+    return (
+        a.join(b, 'src')
+        .filter(F.col('a') < F.col('b'))
+        .groupBy('a', 'b')
+        .agg(F.count('*').alias('weight'))
+    )
+
+
+def triangle_count(pairs: DataFrame, a: str = 'a', b: str = 'b') -> DataFrame:
+    """Count triangles in an undirected edge list given as canonical
+    ``a < b`` pairs.  Returns a single-row DataFrame[n_triangles].
+
+    Classic two-join formulation over the DIRECTED acyclic orientation
+    (edges point low→high), which counts each triangle exactly once and
+    caps the join fan-out by out-degree: wedges = e(x,y)⋈e(y,z), closed
+    by probing e(x,z).  Both joins are equi-joins; at web scale the
+    orientation trick is what keeps hub nodes from exploding (a hub's
+    fan-out is its HIGHER-id neighbors only — the standard
+    degree-ordering refinement would order by degree instead of id and
+    is a drop-in swap of the comparison key).
+    """
+    e = pairs.select(F.col(a).alias('x'), F.col(b).alias('y'))
+    wedge = (
+        e.join(e.select(F.col('x').alias('y'), F.col('y').alias('z')), 'y')
+        .select('x', 'y', 'z')
+    )
+    closed = wedge.join(
+        e.select(F.col('x').alias('x'), F.col('y').alias('z')), ['x', 'z']
+    )
+    return closed.agg(F.count('*').alias('n_triangles'))
+
+
 def degree_stats(edges: DataFrame, src: str = 'src', dst: str = 'dst') -> DataFrame:
     """Per-node (out_degree, in_degree) — one shuffle each side, full-outer
     merged on id.  Returns DataFrame[id, out_degree, in_degree]."""
