@@ -306,6 +306,67 @@ def q_kg_rdf_gzip_roundtrip(spark, sf_dir):
     )
 
 
+def q_orders_star_join(spark, sf_dir):
+    """Star-schema rollup (TPC-H Q5 shape): orders ⋈ customer ⋈ nation ⋈
+    region, revenue by nation, filtered to one region.  The fact table
+    (orders) streams; every dimension is broadcast (pinned by
+    tests/test_plan_evidence_joins.py — 3 BroadcastHashJoins, zero
+    shuffle-exchanges before the final aggregate) and the region filter
+    prunes the region dim BEFORE the join chain, so Catalyst's join
+    reordering + pushdown do exactly what a 100 TB fact scan needs:
+    dims to every executor, fact partitioned-in-place, one exchange for
+    the final small rollup.  Money is aggregated as round(price*100)
+    integer cents — exact in both engines."""
+    orders = _t(spark, sf_dir, 'orders')
+    cust = _t(spark, sf_dir, 'customer')
+    nation = _t(spark, sf_dir, 'nation')
+    region = _t(spark, sf_dir, 'region').filter(F.col('r_name') == 'ASIA')
+    cents = F.round(F.col('o_totalprice') * 100, 0).cast('long')
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col('n_name').alias('nation'))
+        .agg(
+            F.count('*').alias('n_orders'),
+            F.sum(cents).alias('revenue_cents'),
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot — the inverse reshape of the engine's core melt (R1): per-user
+    event counts spread into one column per event type.  Written as
+    single-pass CONDITIONAL aggregation over a fixed column list, NOT
+    `DataFrame.pivot`: measured, pivot() plans a hidden double shuffle
+    (pre-aggregate on (key, pivot-col) then re-aggregate on key) and the
+    no-values form adds a driver round-trip for the distinct key space.
+    This form is ONE HashAggregate pair over ONE exchange on user_id
+    (pinned by tests/test_plan_evidence_joins.py) and mirrors the oracle's
+    FILTER clauses exactly."""
+    ev = _t(spark, sf_dir, 'events')
+    kinds = ['click', 'view', 'purchase', 'signup', 'error']
+    return ev.groupBy('user_id').agg(
+        *[
+            F.count(F.when(F.col('event_type') == k, 1)).alias(f'n_{k}')
+            for k in kinds
+        ]
+    )
+
+
+def q_docs_set_ops(spark, sf_dir):
+    """Set operations (§2.8): doc ids passing the quality gate INTERSECT /
+    EXCEPT those passing the language gate, labeled and unioned.  Both
+    engines evaluate the same set algebra; Spark plans INTERSECT/EXCEPT
+    as hash semi/anti joins over the two key-only sides."""
+    d = _t(spark, sf_dir, 'documents')
+    q_pass = d.filter(F.round(TX.quality_score(F.col('text')), 6) >= 0.5).select('doc_id')
+    l_pass = d.filter(F.col('lang') == 'en').select('doc_id')
+    both = q_pass.intersect(l_pass).withColumn('gate', F.lit('both'))
+    q_only = q_pass.subtract(l_pass).withColumn('gate', F.lit('quality_only'))
+    return both.unionByName(q_only).groupBy('gate').agg(F.count('*').alias('n_docs'))
+
+
 def q_source_orc_roundtrip(spark, sf_dir):
     """S1 source-format coverage beyond parquet/CSV/gzip-text: write the
     events projection to ORC (Spark's other native columnar format — same
@@ -1346,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_types_lines': q_kg_types_lines,
         'kg_rdf_gzip_roundtrip': q_kg_rdf_gzip_roundtrip,
         'source_orc_roundtrip': q_source_orc_roundtrip,
+        'orders_star_join': q_orders_star_join,
+        'events_pivot': q_events_pivot,
+        'docs_set_ops': q_docs_set_ops,
         'kg_callable_config': q_kg_callable_config,
         'kg_edge_id_convention': q_kg_edge_id_convention,
         'kg_salted_dedup': q_kg_salted_dedup,
@@ -2230,6 +2294,38 @@ SELECT user_id, session_idx, count(*) AS n_events,
        min({_EPO}) AS start_s, max({_EPO}) AS end_s,
        max({_EPO}) - min({_EPO}) AS duration_s
 FROM s GROUP BY 1, 2
+"""
+
+    sql['orders_star_join'] = """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+    sql['events_pivot'] = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY 1
+"""
+
+    sql['docs_set_ops'] = f"""
+WITH q_pass AS (SELECT doc_id FROM documents WHERE {_quality_sql()} >= 0.5),
+l_pass AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+labeled AS (
+  SELECT doc_id, 'both' AS gate FROM (SELECT doc_id FROM q_pass INTERSECT SELECT doc_id FROM l_pass)
+  UNION ALL
+  SELECT doc_id, 'quality_only' FROM (SELECT doc_id FROM q_pass EXCEPT SELECT doc_id FROM l_pass)
+)
+SELECT gate, count(*) AS n_docs FROM labeled GROUP BY 1
 """
 
     sql['source_orc_roundtrip'] = """
