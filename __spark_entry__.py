@@ -668,6 +668,63 @@ def q_corpus_sample_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_sample_weighted(spark, sf_dir):
+    """Quality-weighted importance sampling
+    (operators/curation.py:sample_weighted): each document survives with
+    probability equal to its 6-dp quality score — higher-quality data is
+    over-represented in the training mix, the standard quality-weighted
+    sampling curriculum.  Acceptance is the deterministic md5-hash
+    uniform (reproducible under retries/appends); zero exchanges."""
+    from dgraphpandas_spark.operators.curation import sample_weighted
+
+    d = _t(spark, sf_dir, 'documents')
+    q = F.round(TX.quality_score(F.col('text')), 6)
+    return sample_weighted(d.withColumn('quality', q), F.col('quality')).select(
+        'doc_id', 'lang', 'quality'
+    )
+
+
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment
+    (streaming/stream.py:enrich_stream): events streamed in TWO forced
+    micro-batches, each joined map-side against a static user-tier
+    dimension (no shuffle of the micro-batch, no state, append mode) —
+    the streaming twin of batch entity linking.  Oracle = the batch
+    join, valid because a stateless stream-static join is
+    batch-equivalent under AvailableNow."""
+    import tempfile
+
+    from dgraphpandas_spark.streaming.stream import enrich_stream
+
+    tmp = tempfile.mkdtemp(prefix='stream_enrich_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    ev = _t(spark, sf_dir, 'events')
+    for par in (0, 1):
+        ev.filter(F.col('event_id') % 2 == par).coalesce(1).write.mode('append').parquet(indir)
+    dim = ev.select('user_id').distinct().select(
+        'user_id', (F.col('user_id') % 3).alias('tier')
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).option('maxFilesPerTrigger', 1).parquet(indir)
+    )
+    out = enrich_stream(stream, dim, on='user_id').select(
+        'event_id', 'user_id', 'tier',
+        F.round(F.col('value') * 1e6, 0).cast('long').alias('v_micro'),
+    )
+    name = 'stream_enrich_' + os.path.basename(tmp).replace('stream_enrich_', '')
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .outputMode('append')
+        .format('memory')
+        .queryName(name)
+        .option('checkpointLocation', os.path.join(tmp, 'ck'))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_text_vocab_topk(spark, sf_dir):
     """Tokenizer vocab build: top-200 whitespace tokens by frequency with
     deterministic token ids (count DESC, token ASC — total order).  One
@@ -1438,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_pack': q_corpus_pack,
         'corpus_decontaminate': q_corpus_decontaminate,
         'corpus_sample_stratified': q_corpus_sample_stratified,
+        'corpus_sample_weighted': q_corpus_sample_weighted,
+        'stream_static_enrich': q_stream_static_enrich,
         'text_vocab_topk': q_text_vocab_topk,
         'events_sessionize': q_events_sessionize,
         'events_asof_join': q_events_asof_join,
@@ -2264,6 +2323,20 @@ SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
        min(doc_id) AS id_min, max(doc_id) AS id_max
 FROM b WHERE bk < {_rate_case}
 GROUP BY 1
+"""
+
+    sql['corpus_sample_weighted'] = f"""
+WITH scored AS (SELECT doc_id, lang, {_quality_sql()} AS quality FROM documents),
+b AS (SELECT doc_id, lang, quality, {_BKT.format(n=1_000_000)} AS bk FROM scored)
+SELECT doc_id, lang, quality FROM b
+WHERE bk < CAST(round(least(1.0, greatest(0.0, quality)) * 1000000) AS BIGINT)
+"""
+
+    sql['stream_static_enrich'] = """
+WITH dim AS (SELECT DISTINCT user_id, user_id % 3 AS tier FROM events)
+SELECT e.event_id, e.user_id, d.tier,
+       CAST(round(e.value * 1000000) AS BIGINT) AS v_micro
+FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
 """
 
     toks_v = _TOKS.format(col='text')

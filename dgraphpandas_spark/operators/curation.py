@@ -261,3 +261,32 @@ def curate_corpus(
     return passing.join(keep_ids, id_col, 'left_semi').select(
         id_col, 'quality', 'lang_pred'
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = 'doc_id',
+    salt: str = '',
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    equal to its (clamped-to-[0,1]) ``weight`` — e.g. quality-weighted
+    corpus sampling, where a 0.9-quality document is 3× more likely to
+    survive than a 0.3 one.  The acceptance draw is the same md5 hash
+    uniform as ``sample_stratified`` (pure function of id+salt: stable
+    under re-runs, retries, repartitioning, incremental appends — the
+    reproducibility ``DataFrame.sample`` cannot give), compared against
+    the weight quantized to 1e-6 (identically in the DuckDB oracle).
+
+    Physical shape: one projection + filter fused into the scan, zero
+    exchanges; the weight expression must be deterministic per row.
+    """
+    scale = 1_000_000
+    bucket = _id_bucket(
+        F.concat(F.col(id_col).cast('string'), F.lit(salt)) if salt else F.col(id_col),
+        scale,
+    )
+    p = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight)) * scale, 0
+    ).cast('long')
+    return df.filter(bucket < p)

@@ -89,3 +89,27 @@ def write_stream_available_now(
         .foreachBatch(batch_fn)
         .start()
     )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on,
+    how: str = 'left',
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream is
+    joined against a (bounded) static dimension — the streaming twin of
+    the batch pipeline's broadcast dictionary linking
+    (operators/canonicalize.py:link_entities).
+
+    The static side is explicitly ``broadcast()``: a stream-static join
+    must never shuffle the micro-batch (that would re-partition every
+    batch on the join key and stall the trigger cadence); with the dim
+    broadcast, each batch is enriched map-side and stays in append mode
+    with no state.  Spark re-resolves file-based static sides per batch,
+    so a dim table refreshed in place is picked up between triggers —
+    the standard slowly-changing-dimension pattern for streaming ELT.
+    """
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim_df), on, how)
