@@ -1389,6 +1389,21 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+def q_events_cardinality(spark, sf_dir):
+    """Distinct-user cardinality per event type: the oracle-checked exact
+    count (two-phase expanded distinct) next to the 100 TB path —
+    `approx_count_distinct` (HyperLogLog++, fixed ~few-KB mergeable
+    sketch per group, ONE exchange, no key-space shuffle).  The approx
+    estimate is NOT oracle-compared (DuckDB's approx_distinct is a
+    different HLL implementation); its ≤5% relative error vs exact is
+    pinned in pytest instead, and the exact column proves the rollup."""
+    ev = _t(spark, sf_dir, 'events')
+    return ev.groupBy('event_type').agg(
+        F.count('*').alias('n'),
+        F.count_distinct('user_id').alias('n_users'),
+    )
+
+
 def q_events_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per event_type (SQL `percentile` —
     both engines use the linear-interpolation definition; DuckDB's is
@@ -1502,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_asof_join': q_events_asof_join,
         'events_rolling': q_events_rolling,
         'events_quantiles': q_events_quantiles,
+        'events_cardinality': q_events_cardinality,
         'kg_triple_history': q_kg_triple_history,
         'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
@@ -2425,6 +2441,11 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    sql['events_cardinality'] = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
 """
 
     sql['events_quantiles'] = """

@@ -100,6 +100,19 @@ def test_scd2_collapses_runs_and_dedups_last_writer(spark):
     ]
 
 
+def test_approx_count_distinct_scale_path_error_bound(spark):
+    """events_cardinality's oracle checks the exact distinct; the 100 TB
+    path is approx_count_distinct (HLL++, fixed-size mergeable sketch).
+    Pin ≤5% relative error vs exact on the real events table at rsd=0.02
+    so swapping it in at scale is a measured trade."""
+    ev = spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+    row = ev.agg(
+        F.count_distinct('user_id').alias('exact'),
+        F.approx_count_distinct('user_id', 0.02).alias('approx'),
+    ).collect()[0]
+    assert row['approx'] == pytest.approx(row['exact'], rel=0.05)
+
+
 def test_approx_percentile_scale_path_error_bound(spark):
     """events_quantiles' oracle uses exact percentile; the documented
     100 TB path is approx_percentile (mergeable sketch).  Pin that the
