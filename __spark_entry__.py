@@ -742,6 +742,40 @@ def q_text_vocab_topk(spark, sf_dir):
     )
 
 
+def q_corpus_tokenize(spark, sf_dir):
+    """Vocab-encode step (operators/curation.py:encode_tokens): documents
+    → token-id sequences against the deterministic top-200 vocab
+    (build_vocab), OOV → 0.  Emits per-doc n_tokens / n_oov and the md5
+    fingerprint of the ordered id sequence — values only an
+    order-preserving encode can produce.  Broadcast vocab lookup; one
+    regroup exchange on doc_id."""
+    from dgraphpandas_spark.operators.curation import build_vocab, encode_tokens
+
+    d = _t(spark, sf_dir, 'documents')
+    v = build_vocab(d, k=200, min_count=2)
+    enc = encode_tokens(d, v)
+    return enc.select(
+        F.col('id').alias('doc_id'),
+        'n_tokens',
+        'n_oov',
+        F.md5(F.array_join(F.transform(F.col('ids'), lambda i: i.cast('string')), ',').cast('binary')).alias('ids_fp'),
+    )
+
+
+def q_text_unigram_logprob(spark, sf_dir):
+    """Self-scored unigram LM log-probability per document
+    (operators/curation.py:unigram_logprob) — the model-based quality
+    proxy (CCNet-style perplexity filtering without a trained model).
+    Per-token nats quantized to integer micros before summation, so both
+    engines aggregate exact integers."""
+    from dgraphpandas_spark.operators.curation import unigram_logprob
+
+    d = _t(spark, sf_dir, 'documents')
+    return unigram_logprob(d).select(
+        F.col('id').alias('doc_id'), 'n_tokens', 'avg_logprob'
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Batch sessionization (gap = 1800 s) of the event log, rolled up to
     per-session stats — the batch twin of stream_stateful_sessions.  One
@@ -1513,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_sample_weighted': q_corpus_sample_weighted,
         'stream_static_enrich': q_stream_static_enrich,
         'text_vocab_topk': q_text_vocab_topk,
+        'corpus_tokenize': q_corpus_tokenize,
+        'text_unigram_logprob': q_text_unigram_logprob,
         'events_sessionize': q_events_sessionize,
         'events_asof_join': q_events_asof_join,
         'events_rolling': q_events_rolling,
@@ -2364,6 +2400,38 @@ c AS (SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
 SELECT token, n_docs, n_occurrences,
        row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
 FROM c ORDER BY n_occurrences DESC, token LIMIT 200
+"""
+
+    _VOCAB_CTES = f"""
+t AS (SELECT doc_id, u.pos AS pos, d.tk[u.pos] AS token
+      FROM (SELECT doc_id, {toks_v} AS tk FROM documents) d,
+           unnest(range(1, len(d.tk) + 1)) AS u(pos)
+      WHERE d.tk[u.pos] <> ''),
+c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY 1 HAVING count(*) >= 2),
+v AS (SELECT token, row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
+      FROM c ORDER BY n_occurrences DESC, token LIMIT 200)"""
+
+    sql['corpus_tokenize'] = f"""
+WITH {_VOCAB_CTES},
+j AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid,
+             CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+      FROM t LEFT JOIN v ON t.token = v.token)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+FROM j GROUP BY 1
+"""
+
+    sql['text_unigram_logprob'] = f"""
+WITH t AS (SELECT doc_id, u.tok AS token FROM documents, unnest({toks_v}) AS u(tok)
+           WHERE u.tok <> ''),
+freq AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+lp AS (SELECT token, CAST(round(ln(c::double / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS lp_micro
+       FROM freq)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round((CAST(sum(lp.lp_micro) AS DOUBLE) / count(*)) / 1000000, 6) AS avg_logprob
+FROM t JOIN lp ON t.token = lp.token
+GROUP BY 1
 """
 
     # floor(epoch(ts)) mirrors Spark unix_timestamp's seconds truncation

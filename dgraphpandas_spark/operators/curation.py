@@ -290,3 +290,91 @@ def sample_weighted(
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight)) * scale, 0
     ).cast('long')
     return df.filter(bucket < p)
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenize each document into a vocabulary-id sequence (the encode
+    step between ``build_vocab`` and ``pack_sequences`` in a pretraining
+    pipeline).  OOV tokens map to ``oov_id``.  Returns
+    DataFrame[id, n_tokens, n_oov, ids] with ``ids`` in original token
+    order.
+
+    Physical shape: tokenize+posexplode is a fused projection (no
+    shuffle); the vocab lookup is a LEFT join the optimizer broadcasts
+    while the vocab fits (explicitly hinted — a word vocab is ~10^5-10^6
+    rows ≪ corpus; for BPE-scale vocabs that outgrow broadcast, drop the
+    hint and AQE falls back to a shuffled join); the only exchange is the
+    regroup on the doc id to reassemble ordered sequences.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias('id'),
+        F.posexplode(tokens(F.col(text_col))).alias('pos', 'token'),
+    ).filter(F.col('token') != '')
+    looked = tok.join(F.broadcast(vocab.select('token', 'token_id')), 'token', 'left')
+    return (
+        looked.groupBy('id')
+        .agg(
+            F.count('*').alias('n_tokens'),
+            F.count(F.when(F.col('token_id').isNull(), 1)).alias('n_oov'),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct('pos', F.coalesce('token_id', F.lit(oov_id)).alias('tid')))
+                ),
+                lambda s: s['tid'],
+            ).alias('ids'),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+) -> DataFrame:
+    """Self-scored unigram language-model log-probability per document —
+    the cheap perplexity proxy used for model-based quality filtering
+    (CCNet filters on LM perplexity; the unigram variant needs no trained
+    model: frequent-word prose scores high, gibberish and rare-token soup
+    score low).  Returns DataFrame[id, n_tokens, avg_logprob].
+
+    Numeric determinism: per-token ln(count/total) is quantized to
+    integer MICRO-nats (round(ln·1e6) as BIGINT) before summation, so
+    the per-doc aggregate is exact integer math — float summation order
+    (Spark partial aggs vs DuckDB) cannot flip a digit; only the final
+    avg divides, rounded to 6 dp.
+
+    Physical shape: one explode→groupBy(token) for the frequency table
+    (map-side combine shrinks the token stream), a scalar total via one
+    broadcast cross-join, the per-token lookup join (AQE broadcasts the
+    frequency table while it fits), and one regroup on the doc id.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias('id'),
+        F.explode(tokens(F.col(text_col))).alias('token'),
+    ).filter(F.col('token') != '')
+    freq = tok.groupBy('token').agg(F.count('*').alias('c'))
+    total = freq.agg(F.sum('c').alias('total'))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        'token',
+        F.round(F.log(F.col('c').cast('double') / F.col('total')) * 1e6, 0)
+        .cast('long')
+        .alias('lp_micro'),
+    )
+    return (
+        tok.join(lp, 'token')
+        .groupBy('id')
+        .agg(
+            F.count('*').alias('n_tokens'),
+            F.round((F.sum('lp_micro') / F.count('*')) / 1e6, 6).alias('avg_logprob'),
+        )
+    )

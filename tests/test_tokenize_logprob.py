@@ -1,0 +1,39 @@
+"""Vocab encode (encode_tokens) and unigram LM scoring (unigram_logprob)
+on crafted corpora with hand-computable expectations."""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dgraphpandas_spark.operators.curation import build_vocab, encode_tokens, unigram_logprob
+
+
+def test_encode_tokens_order_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, 'the cat sat on the mat'), (2, 'zzz the cat')],
+        'doc_id int, text string',
+    )
+    # vocab: every token occurring >= 2 times → the(3), cat(2); ids by count desc
+    vocab = build_vocab(docs, k=10, min_count=2)
+    v = {r['token']: r['token_id'] for r in vocab.collect()}
+    assert v == {'the': 1, 'cat': 2}
+    enc = {r['id']: r for r in encode_tokens(docs, vocab).collect()}
+    assert enc[1]['ids'] == [1, 2, 0, 0, 1, 0]   # order preserved, OOV → 0
+    assert (enc[1]['n_tokens'], enc[1]['n_oov']) == (6, 3)
+    assert enc[2]['ids'] == [0, 1, 2]
+    assert (enc[2]['n_tokens'], enc[2]['n_oov']) == (3, 1)
+
+
+def test_unigram_logprob_matches_closed_form(spark):
+    docs = spark.createDataFrame([(1, 'a a b'), (2, 'a')], 'doc_id int, text string')
+    out = {r['id']: r for r in unigram_logprob(docs).collect()}
+    # corpus: a×3, b×1, total 4 → p(a)=.75, p(b)=.25; micro-nat quantized
+    mu_a = round(math.log(0.75) * 1e6)
+    mu_b = round(math.log(0.25) * 1e6)
+    assert out[1]['n_tokens'] == 3
+    assert out[1]['avg_logprob'] == round(((2 * mu_a + mu_b) / 3) / 1e6, 6)
+    assert out[2]['n_tokens'] == 1
+    assert out[2]['avg_logprob'] == round(mu_a / 1e6, 6)
+    # prose made of frequent words must outscore rare-token soup
+    assert out[2]['avg_logprob'] > out[1]['avg_logprob']
