@@ -1423,6 +1423,19 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (operators/temporal.py:ewma) — the
+    grouped-Arrow (`applyInPandas`) surface exercised on a genuinely
+    recursive aggregate no window frame can express.  State quantized to
+    1e-6 per fold step (floor-half-up, exact-binary α=1/8), so the DuckDB
+    oracle's list_reduce with the identical lambda reproduces the exact
+    double."""
+    from dgraphpandas_spark.operators.temporal import ewma
+
+    ev = _t(spark, sf_dir, 'events')
+    return ewma(ev, key_col='user_id', ts_col='ts', value_col='value', tiebreak_col='event_id')
+
+
 def q_events_cardinality(spark, sf_dir):
     """Distinct-user cardinality per event type: the oracle-checked exact
     count (two-phase expanded distinct) next to the 100 TB path —
@@ -1554,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rolling': q_events_rolling,
         'events_quantiles': q_events_quantiles,
         'events_cardinality': q_events_cardinality,
+        'events_ewma': q_events_ewma,
         'kg_triple_history': q_kg_triple_history,
         'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
@@ -2509,6 +2523,17 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    sql['events_ewma'] = """
+WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+                  count(*) AS n_events
+           FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       floor(list_reduce(vs, (acc, x) ->
+             floor((0.125 * x + 0.875 * acc) * 1000000 + 0.5) / 1000000
+       ) * 1000000 + 0.5) / 1000000 AS ewma
+FROM l
 """
 
     sql['events_cardinality'] = """

@@ -124,6 +124,72 @@ def rolling_agg(
     return df.select('*', *[col.over(w).alias(name) for name, col in aggs.items()])
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.125,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over event time —
+    final state per key.  Returns DataFrame[key, n_events, ewma].
+
+    This is the one temporal operator that genuinely needs the grouped
+    Arrow surface (``applyInPandas``): the EWMA recurrence
+    ``s ← α·x + (1−α)·s`` is a *recursive* aggregate — no Spark window
+    frame or built-in aggregate expresses it (windows see frames, not
+    carried state).  Each group arrives as one Arrow batch, is sorted
+    locally, and folds in a tight numpy loop — O(1) state per key,
+    groups stream through; this is Arrow-batched per-GROUP Python, not
+    per-row UDF Python on the scan path.
+
+    Cross-engine determinism: the state is quantized after every fold
+    step to 1e-6 via ``floor(s·1e6 + 0.5)/1e6`` (floor-based half-up —
+    NEVER Python ``round``, which is banker's and diverges from SQL
+    engines), so a DuckDB ``list_reduce`` with the identical lambda
+    reproduces the exact double.  α defaults to 0.125 = 1/8, exact in
+    binary, so the products are reproducible IEEE ops.
+
+    Scale shape: ONE exchange on the key (the applyInPandas group
+    shuffle).  Skewed keys put one group on one task — cap group size
+    upstream (sessionize first) or pre-aggregate per (key, coarse time
+    bucket) if a single key's history outgrows an Arrow batch.
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            StructField('n_events', LongType()),
+            StructField('ewma', DoubleType()),
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(sort_cols)
+        vals = pdf[value_col].to_numpy()
+        state = float(vals[0])
+        for x in vals[1:]:
+            state = math.floor((alpha * float(x) + (1.0 - alpha) * state) * 1e6 + 0.5) / 1e6
+        # final 6-dp round matches the oracle's round(..., 6): half-up on
+        # an already-quantized value is the identity except for 1-element
+        # groups, where it quantizes the raw first value identically
+        state = math.floor(state * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], 'n_events': [len(vals)], 'ewma': [state]}
+        )
+
+    return df.select(key_col, *sort_cols, value_col).groupBy(key_col).applyInPandas(
+        fold, schema=out_schema
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -100,6 +100,34 @@ def test_scd2_collapses_runs_and_dedups_last_writer(spark):
     ]
 
 
+def test_ewma_closed_form_and_ordering(spark):
+    """EWMA recurrence with the quantized fold — hand-computed expectation,
+    and the tiebreak column must decide same-timestamp ordering."""
+    import math
+
+    from dgraphpandas_spark.operators.temporal import ewma
+
+    q = lambda s: math.floor(s * 1e6 + 0.5) / 1e6
+    rows = [
+        (1, TS(2024, 1, 1, 0, 0, 0), 1, 1.0),
+        (1, TS(2024, 1, 1, 0, 0, 1), 2, 2.0),
+        (1, TS(2024, 1, 1, 0, 0, 2), 3, 3.0),
+        # key 2: two rows at the SAME ts — seq decides the fold order
+        (2, TS(2024, 1, 1), 1, 10.0),
+        (2, TS(2024, 1, 1), 2, 20.0),
+    ]
+    df = spark.createDataFrame(rows, 'k int, ts timestamp, seq int, v double')
+    got = {
+        r['k']: (r['n_events'], r['ewma'])
+        for r in ewma(df, key_col='k', ts_col='ts', value_col='v', tiebreak_col='seq').collect()
+    }
+    s = 1.0
+    s = q(0.125 * 2.0 + 0.875 * s)
+    s = q(0.125 * 3.0 + 0.875 * s)
+    assert got[1] == (3, q(s))
+    assert got[2] == (2, q(q(0.125 * 20.0 + 0.875 * 10.0)))  # 10 first, then 20
+
+
 def test_approx_count_distinct_scale_path_error_bound(spark):
     """events_cardinality's oracle checks the exact distinct; the 100 TB
     path is approx_count_distinct (HLL++, fixed-size mergeable sketch).
