@@ -101,6 +101,13 @@ def materialize_triples(
     bucketed = with_bucket(triples, n_buckets, bucket_key)
 
     wave_size = max(1, (len(pending) + waves - 1) // waves)
+    # globally monotonic wave ids: a resumed run continues AFTER the crashed
+    # run's last committed wave, so the manifest's wave sequence is a valid
+    # snapshot history across restarts (read_snapshot/snapshot_log rely on
+    # this — the Iceberg-snapshot-id analogue)
+    wave_base = (
+        max((row.get('wave', 0) for row in load_manifest(output_dir).values()), default=-1) + 1
+    )
     spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
 
     import time as _time
@@ -152,7 +159,7 @@ def materialize_triples(
                 # metrics (north_rule: per-partition lineage + metrics):
                 # wall time of the wave that committed this bucket, and the
                 # wave's total row count observed on the write action
-                'wave': w // wave_size,
+                'wave': wave_base + w // wave_size,
                 'wave_ms': wave_ms,
                 'wave_rows': wave_rows,
             })
@@ -167,3 +174,42 @@ def read_triples(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read back a materialized triple table (bucket-pruned scans: filter on
     conv_bucket prunes partitions at the source)."""
     return spark.read.parquet(os.path.join(output_dir, 'data'))
+
+
+def snapshot_log(output_dir: str) -> List[dict]:
+    """Snapshot history derived from the per-bucket manifests: one entry
+    per committed wave — the engine's analogue of Iceberg's snapshot log
+    (this sandbox has no Iceberg runtime; the seam is
+    sources/table_format.py).  Each wave's commit is atomic per bucket
+    (os.replace markers), so a wave is 'in' a snapshot iff all its bucket
+    markers exist — which materialize_triples guarantees by committing a
+    wave's markers together after its write completes.
+
+    Returns [{'wave', 'n_buckets', 'rows', 'wave_ms'}] ordered by wave.
+    """
+    waves: Dict[int, dict] = {}
+    for b, row in load_manifest(output_dir).items():
+        w = row.get('wave', 0)
+        ent = waves.setdefault(w, {'wave': w, 'n_buckets': 0, 'rows': 0, 'wave_ms': row.get('wave_ms', 0)})
+        ent['n_buckets'] += 1
+        ent['rows'] += int(row.get('rows', 0))
+    return [waves[w] for w in sorted(waves)]
+
+
+def read_snapshot(spark: SparkSession, output_dir: str, max_wave: int) -> DataFrame:
+    """Time-travel read: the triple table as of the commit of ``max_wave``
+    (inclusive) — only buckets whose manifest marker belongs to wave ≤
+    ``max_wave`` are visible, exactly the rows a job that died after that
+    wave had durably committed.
+
+    Scale shape: the bucket list comes from the manifest (driver-side
+    metadata, O(n_buckets) tiny JSONs — the same cost class as an Iceberg
+    snapshot's manifest list); the scan filters on the partition column,
+    so Spark prunes non-snapshot buckets at the source (PartitionFilters,
+    pinned by pytest) and never reads their files.
+    """
+    buckets = [
+        b for b, row in load_manifest(output_dir).items()
+        if row.get('wave', 0) <= max_wave
+    ]
+    return read_triples(spark, output_dir).filter(F.col(BUCKET_COL).isin(buckets))

@@ -231,3 +231,46 @@ def test_gzip_level_reaches_hadoop_conf(spark):
     _set_gzip_level(spark, 1)
     hconf = spark._jsparkSession.sessionState().newHadoopConf()
     assert hconf.get('zlib.compress.level') == 'BEST_SPEED'
+
+
+def test_snapshot_log_and_time_travel(spark, transcripts, tmp_path):
+    """Wave commits form a monotonic snapshot history: read_snapshot(w)
+    returns exactly the rows committed by waves <= w, the scan prunes
+    non-snapshot buckets at the source, and a crash-resumed run continues
+    the wave sequence instead of restarting it."""
+    from dgraphpandas_spark import horizontal_transform
+    from dgraphpandas_spark.plans.lineage import read_snapshot, snapshot_log
+
+    intrinsic, _ = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
+    out = str(tmp_path / 'snap')
+    manifest = materialize_triples(intrinsic, out, n_buckets=6, waves=3)
+
+    log = snapshot_log(out)
+    assert [e['wave'] for e in log] == [0, 1, 2]
+    assert sum(e['n_buckets'] for e in log) == 6
+    assert sum(e['rows'] for e in log) == intrinsic.count()
+
+    # cumulative visibility per snapshot
+    running = 0
+    for e in log:
+        running += e['rows']
+        assert read_snapshot(spark, out, e['wave']).count() == running
+
+    # partition pruning: the snapshot filter reaches the scan
+    plan = read_snapshot(spark, out, 0)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+    )
+    assert 'PartitionFilters' in plan and 'conv_bucket' in plan
+
+    # crash after wave 1, resume: wave ids continue, never reuse
+    crash = str(tmp_path / 'snap_crash')
+    with pytest.raises(RuntimeError, match='simulated failure'):
+        materialize_triples(intrinsic, crash, n_buckets=6, waves=3, fail_after_wave=1)
+    first_waves = {e['wave'] for e in snapshot_log(crash)}
+    materialize_triples(intrinsic, crash, n_buckets=6, waves=3)
+    resumed_log = snapshot_log(crash)
+    waves_all = [e['wave'] for e in resumed_log]
+    assert waves_all == sorted(waves_all) and len(set(waves_all)) == len(waves_all)
+    assert min(set(waves_all) - first_waves) > max(first_waves)
+    # full snapshot = full table
+    assert read_snapshot(spark, crash, max(waves_all)).count() == intrinsic.count()
