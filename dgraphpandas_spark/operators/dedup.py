@@ -239,6 +239,8 @@ def connected_components(
     Raises if not converged within ``max_iter`` — near-dup components have
     tiny diameters, so hitting the cap means pathological input.
     """
+    from pyspark.sql import Observation
+
     und = edges.select(F.col('id_a').alias('src'), F.col('id_b').alias('dst')).unionByName(
         edges.select(F.col('id_b').alias('src'), F.col('id_a').alias('dst'))
     ).distinct().localCheckpoint()
@@ -249,20 +251,27 @@ def connected_components(
             .groupBy('dst')
             .agg(F.min('src_label').alias('nbr_label'))
         )
-        new_labels = (
+        # convergence detection rides the checkpoint job as an Observation
+        # (same trick as plans/pipeline.py's count): the changed-row count
+        # is aggregated on the rows already flowing into the checkpoint,
+        # replacing the old extra join-with-previous-labels + count()
+        # action (one action per round instead of two, and one fewer
+        # O(labels) shuffle join per round).  At sf0.1 wall-clock is
+        # unchanged (the label frames are tiny; candidates+verify
+        # dominate) — the win is the removed per-round label-set join,
+        # which grows with n at 100 TB while this version's cost doesn't.
+        obs = Observation()
+        staged = (
             labels.join(nbr.withColumnRenamed('dst', 'id'), 'id', 'left')
             .select(
                 'id',
                 F.least(F.col('label'), F.coalesce('nbr_label', 'label')).alias('label'),
+                (F.col('nbr_label') < F.col('label')).alias('__chg'),
             )
-            .localCheckpoint()
+            .observe(obs, F.sum(F.col('__chg').cast('long')).alias('n_changed'))
         )
-        changed = (
-            new_labels.withColumnRenamed('label', 'new_label')
-            .join(labels, 'id')
-            .filter(F.col('new_label') != F.col('label'))
-            .count()
-        )
+        new_labels = staged.select('id', 'label').localCheckpoint()
+        changed = obs.get['n_changed'] or 0
         labels = new_labels
         if changed == 0:
             return labels.withColumnRenamed('label', 'cluster_id')
