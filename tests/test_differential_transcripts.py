@@ -102,3 +102,39 @@ def test_f1_per_turn_text_equality(spark):
         for r in got_intrinsic.filter("predicate = 'text'").orderBy('subject').collect()
     ]
     assert got_text == ref_text
+
+
+def test_bulk_transcripts_precision_recall(spark):
+    """North-rule metric at bulk scale: 5,000 Zipf-skewed generated turns
+    through the reference pandas engine AND the Spark engine; triple-set
+    precision and recall computed explicitly.  The rule's bar is
+    P/R >= 0.95 — the engine holds exact equality (P = R = 1.0), asserted
+    as such so any future drift below 1.0 is visible even while the bar
+    still passes."""
+    from dgraphpandas_spark.sources.transcripts import TRANSCRIPT_CONFIG, synthetic_transcripts
+
+    sdf = synthetic_transcripts(spark, n_turns=5000, seed=7)
+    pdf = sdf.toPandas()
+
+    got_i, got_e = _spark_transform_df(spark, sdf, TRANSCRIPT_CONFIG, 'turn')
+    got = triples_set(got_i) | triples_set(got_e)
+
+    from dgraphpandas.strategies.horizontal import horizontal_transform as ref_horizontal
+
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in TRANSCRIPT_CONFIG.items()}
+    ref_i, ref_e = ref_horizontal(pdf, cfg, 'turn')
+    ref = ref_triples_set(ref_i) | ref_triples_set(ref_e)
+
+    tp = len(got & ref)
+    precision = tp / len(got)
+    recall = tp / len(ref)
+    assert precision >= 0.95 and recall >= 0.95       # the north-rule bar
+    assert precision == 1.0 and recall == 1.0, (
+        len(got - ref), len(ref - got), sorted(got - ref)[:3], sorted(ref - got)[:3]
+    )
+
+
+def _spark_transform_df(spark, sdf, config, key):
+    from dgraphpandas_spark import horizontal_transform
+
+    return horizontal_transform(sdf, config, key)
