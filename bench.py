@@ -260,6 +260,30 @@ def main():
     ).collect()
     queries['corpus_decontaminate'] = round(time.time() - t, 3)
 
+    t = time.time()
+    entry.q_dedup_blocks(spark, sf_dir).agg(
+        F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_kept', 'clean_fp'))
+    ).collect()
+    queries['dedup_blocks'] = round(time.time() - t, 3)
+
+    t = time.time()
+    entry.q_events_asof_join(spark, sf_dir).agg(
+        F.count('*'), F.bit_xor(F.xxhash64('user_id', 'event_id', 'gap_us'))
+    ).collect()
+    queries['events_asof_join'] = round(time.time() - t, 3)
+
+    t = time.time()
+    entry.q_kg_pagerank(spark, sf_dir).agg(
+        F.count('*'), F.bit_xor(F.xxhash64('id', 'pr'))
+    ).collect()
+    queries['kg_pagerank'] = round(time.time() - t, 3)
+
+    t = time.time()
+    entry.q_corpus_tokenize(spark, sf_dir).agg(
+        F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_tokens', 'ids_fp'))
+    ).collect()
+    queries['corpus_tokenize'] = round(time.time() - t, 3)
+
     total = round(time.time() - t0, 3)
     print(json.dumps({
         'metric': 'e2e_sec',
