@@ -1436,6 +1436,33 @@ def q_events_ewma(spark, sf_dir):
     return ewma(ev, key_col='user_id', ts_col='ts', value_col='value', tiebreak_col='event_id')
 
 
+def q_events_funnel(spark, sf_dir):
+    """First-touch ordered funnel (operators/funnels.py): users completing
+    signup → click → purchase strictly in order.  ONE key aggregate of
+    per-step conditional min(ts) (map-side partial) + a constant-width
+    rollup — no self-joins, no window sorts; one pass over the log at any
+    scale."""
+    from dgraphpandas_spark.operators.funnels import funnel
+
+    ev = _t(spark, sf_dir, 'events')
+    return funnel(ev, steps=['signup', 'click', 'purchase'])
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/funnels.py): users cohorted by
+    the week of their first event; each (cohort, offset) cell counts
+    distinct users active that many weeks later.  Offsets are exact
+    (week-truncated timestamps differ by whole weeks, so the day/7
+    division is integral in both engines)."""
+    from dgraphpandas_spark.operators.funnels import retention
+
+    ev = _t(spark, sf_dir, 'events')
+    r = retention(ev, period='week')
+    return r.select(
+        _us('cohort_start').alias('cohort_start_us'), 'offset', 'n_active'
+    )
+
+
 def q_events_cardinality(spark, sf_dir):
     """Distinct-user cardinality per event type: the oracle-checked exact
     count (two-phase expanded distinct) next to the 100 TB path —
@@ -1568,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_quantiles': q_events_quantiles,
         'events_cardinality': q_events_cardinality,
         'events_ewma': q_events_ewma,
+        'events_funnel': q_events_funnel,
+        'events_retention': q_events_retention,
         'kg_triple_history': q_kg_triple_history,
         'text_pii_redact': q_text_pii_redact,
         'text_stats': q_text_stats,
@@ -2523,6 +2552,34 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    sql['events_funnel'] = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS t0,
+         min(ts) FILTER (WHERE event_type = 'click') AS t1,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t2
+  FROM events GROUP BY 1),
+f AS (SELECT t0 IS NOT NULL AS r0,
+             (t1 IS NOT NULL AND t1 > t0 AND t0 IS NOT NULL) AS r1,
+             (t2 IS NOT NULL AND t2 > t1 AND t1 IS NOT NULL AND t1 > t0 AND t0 IS NOT NULL) AS r2
+      FROM firsts)
+SELECT 0 AS step_idx, 'signup' AS step, count(*) FILTER (WHERE r0) AS n_users FROM f
+UNION ALL
+SELECT 1, 'click', count(*) FILTER (WHERE r1) FROM f
+UNION ALL
+SELECT 2, 'purchase', count(*) FILTER (WHERE r2) FROM f
+"""
+
+    sql['events_retention'] = """
+WITH ev AS (SELECT user_id, date_trunc('week', ts) AS p FROM events),
+first AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1)
+SELECT epoch_us(f.cohort) AS cohort_start_us,
+       CAST(datediff('day', f.cohort, e.p) / 7 AS INT) AS offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2
 """
 
     sql['events_ewma'] = """
