@@ -1436,6 +1436,28 @@ def q_events_ewma(spark, sf_dir):
     return ewma(ev, key_col='user_id', ts_col='ts', value_col='value', tiebreak_col='event_id')
 
 
+def q_kg_tool_transitions(spark, sf_dir):
+    """Tool-invocation Markov transitions: for each conversation's ordered
+    tool sequence, count (from_tool → to_tool) bigrams — the transition
+    matrix an agent-behavior analysis starts from.  ONE exchange on the
+    conversation key; lead() shares the sort; rollup on the (src, dst)
+    pair has map-side partials."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, 'events').filter(F.col('event_type') != 'click')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    seq = ev.select(
+        'user_id',
+        F.concat(F.lit('tool_'), F.col('event_type')).alias('src'),
+        'ts', 'event_id',
+    ).withColumn('dst', F.lead('src').over(w))
+    return (
+        seq.filter(F.col('dst').isNotNull())
+        .groupBy('src', 'dst')
+        .agg(F.count('*').alias('n'))
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """First-touch ordered funnel (operators/funnels.py): users completing
     signup → click → purchase strictly in order.  ONE key aggregate of
@@ -1596,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_cardinality': q_events_cardinality,
         'events_ewma': q_events_ewma,
         'events_funnel': q_events_funnel,
+        'kg_tool_transitions': q_kg_tool_transitions,
         'events_retention': q_events_retention,
         'kg_triple_history': q_kg_triple_history,
         'text_pii_redact': q_text_pii_redact,
@@ -2552,6 +2575,15 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    sql['kg_tool_transitions'] = """
+WITH seq AS (
+  SELECT user_id, 'tool_' || event_type AS src,
+         lead('tool_' || event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS dst
+  FROM events WHERE event_type != 'click')
+SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
 """
 
     sql['events_funnel'] = """
