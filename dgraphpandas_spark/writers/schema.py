@@ -140,7 +140,9 @@ def create_schema(
             print(r)
     export_csv = get_from_config('export_csv', config, False, **kwargs)
     if export_csv:
-        export_csv_name = kwargs.get('export_csv_name', 'schema.csv')
+        # reference schema.py:47 resolves the name through the config too
+        # (kwargs > config > 'schema.csv'), not kwargs-only
+        export_csv_name = get_from_config('export_csv_name', config, 'schema.csv', **kwargs)
         path = os.path.join(output_dir, export_csv_name)
         encoding = kwargs.get('encoding', 'utf-8')
         with open(path, 'w', encoding=encoding) as f:

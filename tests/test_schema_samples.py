@@ -96,3 +96,15 @@ def test_generate_types_semantics_vs_reference_frame(config_path):
     if reverse_tables:
         first_reverse = min(seen_tables.index(t) for t in seen_tables if t in reverse_tables)
         assert all(t in reverse_tables for t in seen_tables[first_reverse:])
+
+
+def test_export_csv_name_resolves_from_config(tmp_path):
+    """Reference schema.py:47 resolves export_csv_name via config (not
+    kwargs-only) — a config carrying a custom name must be honored."""
+    cfg = json.load(open(POKEMON))
+    cfg['export_csv'] = True
+    cfg['export_csv_name'] = 'pre_schema.csv'
+    create_schema(cfg, output_dir=str(tmp_path))
+    assert (tmp_path / 'pre_schema.csv').exists()
+    header = (tmp_path / 'pre_schema.csv').read_text().splitlines()[0]
+    assert header == 'column,type,table,options'
