@@ -904,6 +904,15 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     return SS.ivf_topk(emb, qvec, k=10, n_cells=8, nprobe=2, centroids=cents)
 
 
+def q_emb_covariance(spark, sf_dir):
+    """One-pass distributed covariance of the first 8 embedding dims
+    (operators/simsearch.py:covariance_matrix) — the moment aggregation
+    PCA/whitening starts from.  Constant-width aggregate (36 product sums
+    + 8 sums + count) with map-side partials over ONE exchange; no
+    explode, no driver-side vectors."""
+    return SS.covariance_matrix(_t(spark, sf_dir, 'embeddings'), k=8)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means clusters (2 deterministic
     Lloyd rounds, shared with the trained-IVF quantizer) + within-cluster
@@ -1634,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_materialized_topk': q_ann_ivf_materialized_topk,
         'ann_recall': q_ann_recall,
         'dedup_semantic': q_dedup_semantic,
+        'emb_covariance': q_emb_covariance,
         'emb_neardup_lsh': q_emb_neardup_lsh,
         'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
         'emb_neardup_pairs': q_emb_neardup_pairs,
@@ -2844,6 +2854,19 @@ SELECT * FROM aud UNION ALL SELECT * FROM img
 """
 
     cos_ab = _cosine_sql('a.v', 'b.v')
+    _cov_rows = []
+    for _ci in range(8):
+        for _cj in range(_ci, 8):
+            _cov_rows.append(
+                f'SELECT {_ci} AS i, {_cj} AS j, '
+                f'round(avg(v[{_ci + 1}]::DOUBLE * v[{_cj + 1}]::DOUBLE) '
+                f'- avg(v[{_ci + 1}]::DOUBLE) * avg(v[{_cj + 1}]::DOUBLE), 6) AS cov FROM e'
+            )
+    sql['emb_covariance'] = (
+        'WITH e AS (SELECT embedding AS v FROM embeddings)\n'
+        + '\nUNION ALL\n'.join(_cov_rows)
+    )
+
     sql['emb_neardup_pairs'] = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos

@@ -242,3 +242,60 @@ def bucket_histogram(
         .groupBy('bucket')
         .agg(F.count('*').alias('n_vectors'))
     )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = 'embedding',
+    k: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Upper-triangle covariance of the first ``k`` embedding dimensions —
+    the one-pass moment aggregation PCA / whitening / Mahalanobis scoring
+    is built on.  Returns DataFrame[i, j, cov] with i ≤ j,
+    cov = E[x_i·x_j] − E[x_i]·E[x_j], rounded to ``ndigits``.
+
+    Plan shape (the right one for 100 TB): a CONSTANT-WIDTH aggregate —
+    k·(k+1)/2 product sums + k sums + one count as plain agg columns with
+    map-side partials, ONE exchange carrying a single combined row per
+    partition.  No posexplode (which would blow each vector into k² rows
+    before aggregating) and no driver-side vectors; the k×k result is
+    metadata-scale, so the downstream eigendecomposition (driver numpy)
+    costs nothing — the classic distributed-PCA split.
+    """
+    x = F.col(vec_col)
+    aggs = [F.count(F.lit(1)).alias('__n')]
+    for i in range(k):
+        aggs.append(F.sum(F.get(x, i).cast('double')).alias(f'__s{i}'))
+    for i in range(k):
+        for j in range(i, k):
+            # cast each float32 element to double BEFORE multiplying — a
+            # float×float product rounds to float first and diverges from
+            # engines (DuckDB) that promote operands to double
+            aggs.append(
+                F.sum(
+                    F.get(x, i).cast('double') * F.get(x, j).cast('double')
+                ).alias(f'__p{i}_{j}')
+            )
+    m = df.agg(*aggs)
+    n = F.col('__n').cast('double')
+    # reshape the ONE aggregated row via unpivot, never a union of 36
+    # per-cell selects — that variant planned 36 separate scans+aggregates
+    # of the input (measured; Spark does not share plan subtrees across
+    # union branches without explicit caching)
+    named = m.select(
+        *[
+            F.round(
+                F.col(f'__p{i}_{j}') / n - (F.col(f'__s{i}') / n) * (F.col(f'__s{j}') / n),
+                ndigits,
+            ).alias(f'{i}_{j}')
+            for i in range(k)
+            for j in range(i, k)
+        ]
+    )
+    un = named.unpivot([], named.columns, 'ij', 'cov')
+    return un.select(
+        F.split('ij', '_')[0].cast('int').alias('i'),
+        F.split('ij', '_')[1].cast('int').alias('j'),
+        'cov',
+    )
