@@ -45,16 +45,16 @@ def funnel(
         if i > 0:
             cond = cond & (F.col(f'__t{i}') > F.col(f'__t{i - 1}')) & flags[i - 1]
         flags.append(cond)
+    # reshape the ONE aggregated row via unpivot, never a union of
+    # per-step selects — Spark shares no plan subtrees across union
+    # branches, so that variant scans the log once PER STEP (PLANS.md §5t)
     agg = firsts.agg(
-        *[F.count(F.when(flags[i], 1)).alias(f'__n{i}') for i in range(len(steps))]
+        *[F.count(F.when(flags[i], 1)).alias(str(i)) for i in range(len(steps))]
     )
-    rows = None
-    for i, s in enumerate(steps):
-        row = agg.select(
-            F.lit(i).alias('step_idx'), F.lit(s).alias('step'), F.col(f'__n{i}').alias('n_users')
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    un = agg.unpivot([], agg.columns, '__i', 'n_users')
+    idx = F.col('__i').cast('int')
+    step_name = F.array(*[F.lit(s) for s in steps])[idx]
+    return un.select(idx.alias('step_idx'), step_name.alias('step'), 'n_users')
 
 
 def retention(

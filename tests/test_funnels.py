@@ -61,3 +61,15 @@ def test_retention_cohorts_and_offsets(spark):
         (w1, 0): 2, (w1, 1): 1, (w1, 2): 1,
         (w2, 0): 1, (w2, 1): 1,
     }
+
+
+def test_funnel_plan_scans_input_once(spark):
+    """The step reshape must be unpivot over the single aggregated row —
+    a union of per-step selects scans the log once per step."""
+    import __spark_entry__ as E
+
+    df = E.queries()['events_funnel'](spark, '/root/testdata/sf0.001')
+    tree = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+    ).split('\n\n')[0]
+    assert tree.count('Scan parquet') == 1, tree
