@@ -81,3 +81,86 @@ def test_asof_join_matches_duckdb_native(spark, con, case):
         ).fetchall()
     }
     assert got == want
+
+
+@st.composite
+def ewma_case(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for i in range(n):
+        k = draw(_KEY)
+        t = draw(_TS)
+        # values with awkward binary fractions — stress the quantized fold
+        v = draw(st.floats(min_value=0.001, max_value=500.0,
+                           allow_nan=False, allow_infinity=False, width=64))
+        rows.append((k, t, i, v))
+    return rows
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=ewma_case())
+def test_ewma_bit_exact_vs_duckdb_list_reduce(spark, con, rows):
+    """The quantized EWMA fold must produce BIT-IDENTICAL doubles to
+    DuckDB's list_reduce with the same lambda on arbitrary inputs — the
+    floor-half-up step quantization is what makes this hold."""
+    from dgraphpandas_spark.operators.temporal import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    srows = [(k, base + dt.timedelta(seconds=t), seq, v) for (k, t, seq, v) in rows]
+    df = spark.createDataFrame(srows, 'k int, ts timestamp, seq int, v double')
+    got = {
+        r['k']: (r['n_events'], r['ewma'])
+        for r in ewma(df, key_col='k', ts_col='ts', value_col='v', tiebreak_col='seq').collect()
+    }
+
+    con.execute('DROP TABLE IF EXISTS ew')
+    con.execute('CREATE TABLE ew(k INT, ts TIMESTAMP, seq INT, v DOUBLE)')
+    con.executemany('INSERT INTO ew VALUES (?, ?, ?, ?)', srows)
+    want = {
+        k: (n, e)
+        for k, n, e in con.execute(
+            'WITH l AS (SELECT k, list(v ORDER BY ts, seq) AS vs, count(*) AS n FROM ew GROUP BY 1) '
+            'SELECT k, n, floor(list_reduce(vs, (acc, x) -> '
+            'floor((0.125 * x + 0.875 * acc) * 1000000 + 0.5) / 1000000'
+            ') * 1000000 + 0.5) / 1000000 FROM l'
+        ).fetchall()
+    }
+    assert got == want  # exact float equality — no tolerance
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_rolling_range_matches_duckdb(spark, con, case):
+    """Integer-microsecond RANGE frames must agree with DuckDB's numeric
+    RANGE on arbitrary timestamp collisions (window = 5 s)."""
+    from pyspark.sql import functions as F
+
+    from dgraphpandas_spark.operators.temporal import rolling_agg
+
+    rows, _ = case
+    base = dt.datetime(2024, 1, 1)
+    srows = [(k, base + dt.timedelta(seconds=t), i) for i, (k, t) in enumerate(rows)]
+    df = spark.createDataFrame(srows, 'k int, ts timestamp, rid int')
+    got = sorted(
+        (r['rid'], r['n'])
+        for r in rolling_agg(df, 'k', 'ts', 5, {'n': F.count(F.lit(1))}).collect()
+    )
+    con.execute('DROP TABLE IF EXISTS rl')
+    con.execute('CREATE TABLE rl(k INT, ts TIMESTAMP, rid INT)')
+    con.executemany('INSERT INTO rl VALUES (?, ?, ?)', srows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            'SELECT rid, count(*) OVER (PARTITION BY k ORDER BY epoch_us(ts) '
+            'RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW) FROM rl'
+        ).fetchall()
+    )
+    assert got == want
