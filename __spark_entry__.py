@@ -668,6 +668,22 @@ def q_corpus_sample_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_chunk(spark, sf_dir):
+    """RAG/embedding prep: sliding-window chunking (size 32, stride 24 —
+    8-token overlap) of every document (curation.py:chunk_documents).
+    Pure array expressions + one posexplode, zero shuffles; emits the
+    chunk fingerprint so the oracle pins exact window content and
+    order."""
+    from dgraphpandas_spark.operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, 'documents')
+    c = chunk_documents(d, size=32, stride=24)
+    return c.select(
+        F.col('id').alias('doc_id'), 'chunk_idx', 'n_chunk_tokens',
+        F.md5(F.col('chunk_text').cast('binary')).alias('chunk_fp'),
+    )
+
+
 def q_corpus_sample_weighted(spark, sf_dir):
     """Quality-weighted importance sampling
     (operators/curation.py:sample_weighted): each document survives with
@@ -1616,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_decontaminate': q_corpus_decontaminate,
         'corpus_sample_stratified': q_corpus_sample_stratified,
         'corpus_sample_weighted': q_corpus_sample_weighted,
+        'corpus_chunk': q_corpus_chunk,
         'stream_static_enrich': q_stream_static_enrich,
         'text_vocab_topk': q_text_vocab_topk,
         'corpus_tokenize': q_corpus_tokenize,
@@ -2451,6 +2468,19 @@ SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
        min(doc_id) AS id_min, max(doc_id) AS id_max
 FROM b WHERE bk < {_rate_case}
 GROUP BY 1
+"""
+
+    sql['corpus_chunk'] = f"""
+WITH toks AS (SELECT doc_id, {_toks_txt} AS t FROM documents),
+ch AS (SELECT doc_id, i AS chunk_idx,
+              array_to_string(t[(i * 24 + 1):(i * 24 + 32)], ' ') AS ctext
+       FROM toks,
+            unnest(range(0, CAST(floor((len(t) - 1) / 24) AS INT) + 1)) AS u(i)
+       WHERE len(t) > 0)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(string_split(ctext, ' ')) AS INT) AS n_chunk_tokens,
+       md5(ctext) AS chunk_fp
+FROM ch
 """
 
     sql['corpus_sample_weighted'] = f"""

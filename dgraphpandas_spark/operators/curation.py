@@ -378,3 +378,43 @@ def unigram_logprob(
             F.round((F.sum('lp_micro') / F.count('*')) / 1e6, 6).alias('avg_logprob'),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding prep
+    step: each document becomes overlapping windows of ``size`` tokens at
+    ``stride`` spacing (overlap = size − stride keeps context across
+    boundaries), tail windows shorter than ``size`` are kept.  Returns
+    DataFrame[id, chunk_idx, n_chunk_tokens, chunk_text] with one chunk
+    window starting at every stride multiple below the token count.
+
+    Physical shape: tokenize + window slicing are pure array expressions
+    and ONE posexplode (Generate) — zero shuffles, embarrassingly
+    parallel; downstream embedding/indexing re-partitions as it needs.
+    """
+    from ..functions.text import tokens
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.when(n > 0, F.floor((n - 1) / stride) + 1).otherwise(F.lit(0)).cast('int')
+    windows = F.when(
+        F.col('__nc') > 0,
+        F.expr(
+            f"transform(sequence(0, __nc - 1), "
+            f"i -> array_join(slice(__toks, i * {stride} + 1, {size}), ' '))"
+        ),
+    ).otherwise(F.array().cast('array<string>'))
+    staged = df.select(
+        F.col(id_col).alias('id'), t.alias('__toks'), n_chunks.alias('__nc')
+    )
+    return staged.select(
+        'id', F.posexplode(windows).alias('chunk_idx', 'chunk_text')
+    ).withColumn(
+        'n_chunk_tokens', F.size(F.split(F.col('chunk_text'), ' '))
+    ).select('id', 'chunk_idx', 'n_chunk_tokens', 'chunk_text')

@@ -37,3 +37,27 @@ def test_unigram_logprob_matches_closed_form(spark):
     assert out[2]['avg_logprob'] == round(mu_a / 1e6, 6)
     # prose made of frequent words must outscore rare-token soup
     assert out[2]['avg_logprob'] > out[1]['avg_logprob']
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from dgraphpandas_spark.operators.curation import chunk_documents
+
+    # 7 tokens, size 4, stride 3 → windows at 0, 3, 6
+    docs = spark.createDataFrame([(1, 'a b c d e f g')], 'doc_id int, text string')
+    got = {
+        r['chunk_idx']: (r['chunk_text'], r['n_chunk_tokens'])
+        for r in chunk_documents(docs, size=4, stride=3).collect()
+    }
+    assert got == {
+        0: ('a b c d', 4),   # full window
+        1: ('d e f g', 4),   # 1-token overlap with previous (size - stride)
+        2: ('g', 1),         # short tail window kept
+    }
+
+
+def test_chunk_documents_short_doc_single_window(spark):
+    from dgraphpandas_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, 'x y')], 'doc_id int, text string')
+    got = chunk_documents(docs, size=8, stride=6).collect()
+    assert len(got) == 1 and got[0]['chunk_text'] == 'x y'
