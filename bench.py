@@ -216,73 +216,58 @@ def main():
 
     queries['kg_materialize'] = round(bench_kg_materialize(spark, n_turns), 3)
 
-    t = time.time()
-    entry.q_kg_events_intrinsic(spark, sf_dir).agg(*CHECKSUM()).collect()
-    queries['kg_events_intrinsic'] = round(time.time() - t, 3)
+    # Per-query protocol: run each query TWICE.  queries[name] keeps the
+    # FIRST run (plan+codegen included — the protocol of rounds 1-2, so
+    # cross-round comparison stays apples-to-apples); queries_warm[name]
+    # records min(run1, run2) — the steady-state number this multi-tenant
+    # host's steal noise and one-time janino compile otherwise bury.
+    queries_warm = {}
 
-    t = time.time()
-    entry.q_kg_orders_composite(spark, sf_dir).agg(*CHECKSUM()).collect()
-    queries['kg_orders_composite'] = round(time.time() - t, 3)
+    def timed(name, action):
+        times = []
+        for _ in range(2):
+            t = time.time()
+            action()
+            times.append(round(time.time() - t, 3))
+        queries[name] = times[0]
+        queries_warm[name] = min(times)
 
-    t = time.time()
-    entry.q_kg_upserts_customer(spark, sf_dir).agg(
-        F.count('*').alias('n'), F.bit_xor(F.xxhash64('line')).alias('ck')
-    ).collect()
-    queries['kg_upserts_customer'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_dedup_minhash_lsh(spark, sf_dir).count()
-    queries['dedup_minhash_lsh'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_text_stats(spark, sf_dir).agg(F.bit_xor(F.xxhash64('fp', 'lang_pred', 'n_tokens'))).collect()
-    queries['text_stats'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_ann_cosine_topk(spark, sf_dir).collect()
-    queries['ann_cosine_topk'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_dedup_clusters(spark, sf_dir).agg(
-        F.count('*').alias('n'), F.bit_xor(F.xxhash64('id', 'cluster_id', 'keep')).alias('ck')
-    ).collect()
-    queries['dedup_clusters'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_corpus_pack(spark, sf_dir).agg(
-        F.count('*'), F.bit_xor(F.xxhash64('shard', 'pack_id', 'n_docs', 'pack_tokens'))
-    ).collect()
-    queries['corpus_pack'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_corpus_decontaminate(spark, sf_dir).agg(
-        F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_hits'))
-    ).collect()
-    queries['corpus_decontaminate'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_dedup_blocks(spark, sf_dir).agg(
-        F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_kept', 'clean_fp'))
-    ).collect()
-    queries['dedup_blocks'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_events_asof_join(spark, sf_dir).agg(
-        F.count('*'), F.bit_xor(F.xxhash64('user_id', 'event_id', 'gap_us'))
-    ).collect()
-    queries['events_asof_join'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_kg_pagerank(spark, sf_dir).agg(
-        F.count('*'), F.bit_xor(F.xxhash64('id', 'pr'))
-    ).collect()
-    queries['kg_pagerank'] = round(time.time() - t, 3)
-
-    t = time.time()
-    entry.q_corpus_tokenize(spark, sf_dir).agg(
-        F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_tokens', 'ids_fp'))
-    ).collect()
-    queries['corpus_tokenize'] = round(time.time() - t, 3)
+    timed('kg_events_intrinsic',
+          lambda: entry.q_kg_events_intrinsic(spark, sf_dir).agg(*CHECKSUM()).collect())
+    timed('kg_orders_composite',
+          lambda: entry.q_kg_orders_composite(spark, sf_dir).agg(*CHECKSUM()).collect())
+    timed('kg_upserts_customer',
+          lambda: entry.q_kg_upserts_customer(spark, sf_dir).agg(
+              F.count('*').alias('n'), F.bit_xor(F.xxhash64('line')).alias('ck')).collect())
+    timed('dedup_minhash_lsh',
+          lambda: entry.q_dedup_minhash_lsh(spark, sf_dir).count())
+    timed('text_stats',
+          lambda: entry.q_text_stats(spark, sf_dir).agg(
+              F.bit_xor(F.xxhash64('fp', 'lang_pred', 'n_tokens'))).collect())
+    timed('ann_cosine_topk',
+          lambda: entry.q_ann_cosine_topk(spark, sf_dir).collect())
+    timed('dedup_clusters',
+          lambda: entry.q_dedup_clusters(spark, sf_dir).agg(
+              F.count('*').alias('n'),
+              F.bit_xor(F.xxhash64('id', 'cluster_id', 'keep')).alias('ck')).collect())
+    timed('corpus_pack',
+          lambda: entry.q_corpus_pack(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('shard', 'pack_id', 'n_docs', 'pack_tokens'))).collect())
+    timed('corpus_decontaminate',
+          lambda: entry.q_corpus_decontaminate(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_hits'))).collect())
+    timed('dedup_blocks',
+          lambda: entry.q_dedup_blocks(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_kept', 'clean_fp'))).collect())
+    timed('events_asof_join',
+          lambda: entry.q_events_asof_join(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('user_id', 'event_id', 'gap_us'))).collect())
+    timed('kg_pagerank',
+          lambda: entry.q_kg_pagerank(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'pr'))).collect())
+    timed('corpus_tokenize',
+          lambda: entry.q_corpus_tokenize(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_tokens', 'ids_fp'))).collect())
 
     total = round(time.time() - t0, 3)
     print(json.dumps({
@@ -290,6 +275,7 @@ def main():
         'value': total,
         'unit': 'sec',
         'queries': queries,
+        'queries_warm': queries_warm,
         'sf': sf,
         'cpus': cores,
         'master': master,
