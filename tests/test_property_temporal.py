@@ -164,3 +164,98 @@ def test_rolling_range_matches_duckdb(spark, con, case):
         ).fetchall()
     )
     assert got == want
+
+
+@st.composite
+def scd2_case(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    rows = []
+    for i in range(n):
+        rows.append((
+            draw(_KEY), draw(_TS), i, draw(st.sampled_from(['A', 'B', 'C']))
+        ))
+    return rows
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=scd2_case())
+def test_scd2_matches_duckdb_windows(spark, con, rows):
+    """SCD2 collapse (same-ts last-writer dedup → run-length change
+    detection → interval close) must agree with the window-function SQL
+    mirror under same-timestamp ties and repeated values."""
+    from dgraphpandas_spark.operators.temporal import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    srows = [(k, base + dt.timedelta(seconds=t), seq, v) for (k, t, seq, v) in rows]
+    df = spark.createDataFrame(srows, 'k int, ts timestamp, seq int, v string')
+    got = sorted(
+        (r['k'], r['v'], r['valid_from'], r['valid_to'])
+        for r in scd2_history(df, ['k'], 'ts', 'v', tiebreak_cols=['seq']).collect()
+    )
+    con.execute('DROP TABLE IF EXISTS sc')
+    con.execute('CREATE TABLE sc(k INT, ts TIMESTAMP, seq INT, v VARCHAR)')
+    con.executemany('INSERT INTO sc VALUES (?, ?, ?, ?)', srows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH ded AS (SELECT k, ts, v FROM sc "
+            "  QUALIFY row_number() OVER (PARTITION BY k, ts ORDER BY seq DESC) = 1), "
+            "runs AS (SELECT k, ts, v, lag(v) OVER (PARTITION BY k ORDER BY ts) AS prev FROM ded), "
+            "chg AS (SELECT k, ts, v FROM runs WHERE prev IS NULL OR prev <> v) "
+            "SELECT k, v, ts, lead(ts) OVER (PARTITION BY k ORDER BY ts) FROM chg"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@st.composite
+def funnel_case(draw):
+    n = draw(st.integers(min_value=1, max_value=16))
+    rows = []
+    for i in range(n):
+        rows.append((
+            draw(_KEY), draw(st.sampled_from(['s1', 's2', 's3', 'x'])), draw(_TS), i
+        ))
+    return rows
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=funnel_case())
+def test_funnel_matches_duckdb(spark, con, rows):
+    from dgraphpandas_spark.operators.funnels import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    srows = [(k, e, base + dt.timedelta(seconds=t)) for (k, e, t, _) in rows]
+    df = spark.createDataFrame(srows, 'user_id int, event_type string, ts timestamp')
+    got = sorted(
+        (r['step_idx'], r['step'], r['n_users'])
+        for r in funnel(df, steps=['s1', 's2', 's3']).collect()
+    )
+    con.execute('DROP TABLE IF EXISTS fn')
+    con.execute('CREATE TABLE fn(user_id INT, event_type VARCHAR, ts TIMESTAMP)')
+    con.executemany('INSERT INTO fn VALUES (?, ?, ?)', srows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH firsts AS (SELECT user_id, "
+            "  min(ts) FILTER (WHERE event_type = 's1') AS t0, "
+            "  min(ts) FILTER (WHERE event_type = 's2') AS t1, "
+            "  min(ts) FILTER (WHERE event_type = 's3') AS t2 FROM fn GROUP BY 1), "
+            "f AS (SELECT t0 IS NOT NULL AS r0, "
+            "  (t1 IS NOT NULL AND t1 > t0 AND t0 IS NOT NULL) AS r1, "
+            "  (t2 IS NOT NULL AND t2 > t1 AND t1 IS NOT NULL AND t1 > t0 AND t0 IS NOT NULL) AS r2 "
+            "  FROM firsts) "
+            "SELECT 0, 's1', count(*) FILTER (WHERE r0) FROM f "
+            "UNION ALL SELECT 1, 's2', count(*) FILTER (WHERE r1) FROM f "
+            "UNION ALL SELECT 2, 's3', count(*) FILTER (WHERE r2) FROM f"
+        ).fetchall()
+    )
+    assert got == want
