@@ -60,3 +60,58 @@ def test_grouped_topk_plans_partial_window_group_limit(spark):
     )
     tree = plan.split('\n\n')[0]
     assert tree.count('WindowGroupLimit') == 2, tree
+
+
+def test_k_hop_fuzz_vs_python_bfs(spark):
+    """Random small digraphs: k_hop must equal a plain Python BFS."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    for trial in range(6):
+        nodes = [f'n{i}' for i in range(rng.randint(2, 8))]
+        edges = [
+            (a, b) for a, b in itertools.permutations(nodes, 2) if rng.random() < 0.3
+        ]
+        k = rng.randint(1, 3)
+        seeds = rng.sample(nodes, rng.randint(1, 2))
+
+        # python BFS ground truth
+        dist = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, k + 1):
+            nxt = {b for (a, b) in edges if a in frontier} - set(dist)
+            for n in nxt:
+                dist[n] = h
+            frontier = nxt
+        edf = spark.createDataFrame(edges or [('x', 'y')], 'src string, dst string')
+        if not edges:
+            edf = edf.limit(0)
+        sdf = spark.createDataFrame([(s,) for s in seeds], 'id string')
+        from dgraphpandas_spark.operators.graph import k_hop
+
+        got = {r['id']: r['hop'] for r in k_hop(edf, sdf, k=k).collect()}
+        assert got == dist, (trial, edges, seeds, k, got, dist)
+
+
+def test_triangle_count_fuzz_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(29)
+    for trial in range(6):
+        nodes = [str(i) for i in range(rng.randint(3, 9))]
+        pairs = [
+            (a, b) for a, b in itertools.combinations(sorted(nodes), 2)
+            if rng.random() < 0.4
+        ]
+        eset = set(pairs)
+        want = sum(
+            1 for x, y, z in itertools.combinations(sorted(nodes), 3)
+            if (x, y) in eset and (y, z) in eset and (x, z) in eset
+        )
+        pdf = spark.createDataFrame(pairs or [('a', 'b')], 'a string, b string')
+        if not pairs:
+            pdf = pdf.limit(0)
+        got = triangle_count(pdf).collect()[0]['n_triangles']
+        assert got == want, (trial, pairs, got, want)
