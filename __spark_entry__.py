@@ -1272,6 +1272,59 @@ def q_stream_kg_triples(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_kg_materialize(spark, sf_dir):
+    """The COMPLETE streaming-ELT north-star path, oracle-checked through
+    storage: transcript-shaped turns streamed in two forced micro-batches
+    → melt+refine (stream_triples) → foreachBatch append-mode
+    materialization (streaming/stream.py:stream_materialize — one wave
+    per batch, atomic wave markers, replay-idempotent dynamic overwrite)
+    → read back ONLY marker-committed waves.  The rows that come off disk
+    must equal the batch transform of the same input (the oracle is the
+    stream_kg_triples SQL), proving the storage path neither lost,
+    duplicated, nor altered a triple across batch boundaries."""
+    import tempfile
+
+    from dgraphpandas_spark.plans.lineage import appended_waves, read_appended
+    from dgraphpandas_spark.streaming.stream import stream_materialize, stream_transcripts, stream_triples
+
+    tmp = tempfile.mkdtemp(prefix='stream_mat_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    ev = _t(spark, sf_dir, 'events')
+    turns = ev.select(
+        F.concat(F.lit('u'), F.col('user_id')).alias('conv_id'),
+        F.col('event_id').cast('int').alias('turn_idx'),
+        F.col('event_type').alias('role'),
+        F.col('props').alias('text'),
+        F.when(F.col('event_type') != 'click', F.col('event_type')).alias('tool'),
+        'ts',
+    )
+    for par in (0, 1):
+        turns.filter(F.col('turn_idx') % 2 == par).coalesce(1).write.mode('append').parquet(indir)
+    stream = stream_transcripts(spark, indir, max_files_per_trigger=1)
+    config = {
+        'transform': 'horizontal',
+        'files': {
+            'turn': {
+                'subject_fields': ['conv_id', 'turn_idx'],
+                'edge_fields': ['tool'],
+                'type_overrides': {'ts': 'datetime64[ns]'},
+                'date_fields': {'ts': {}},
+            }
+        },
+    }
+    out = stream_triples(stream, config, 'turn').withColumn(
+        'is_edge', F.col('is_edge').cast('int')
+    )
+    store = os.path.join(tmp, 'store')
+    q = stream_materialize(out, store, os.path.join(tmp, 'ck'), n_buckets=8)
+    q.awaitTermination()
+    assert len(appended_waves(store)) >= 2  # two micro-batches → two waves
+    return read_appended(spark, store).select(
+        'subject', 'predicate', 'object', 'type', 'is_edge'
+    )
+
+
 def q_stream_replay_dedup(spark, sf_dir):
     """Bounded-state exactly-once ingestion under source replays
     (``dropDuplicatesWithinWatermark``): batch 1 delivers every turn, batch
@@ -1620,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_stateful_multibatch': q_stream_stateful_multibatch,
         'stream_replay_dedup': q_stream_replay_dedup,
         'stream_kg_triples': q_stream_kg_triples,
+        'stream_kg_materialize': q_stream_kg_materialize,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -2321,6 +2375,10 @@ UNION ALL
 SELECT 'turn_' || conv || '_' || idx, 'tool', 'tool_' || {full_scrub.format(col='tool')},
        CAST(NULL AS VARCHAR), 1 FROM base WHERE tool IS NOT NULL
 """
+
+    # the storage-path query must come off disk with exactly the rows the
+    # batch transform produces — same oracle SQL as the in-memory stream
+    sql['stream_kg_materialize'] = sql['stream_kg_triples']
 
     # Replay dedup: the stream ingests every turn plus a replayed third;
     # bounded per-key state must absorb the replays, leaving the distinct

@@ -213,3 +213,108 @@ def read_snapshot(spark: SparkSession, output_dir: str, max_wave: int) -> DataFr
         if row.get('wave', 0) <= max_wave
     ]
     return read_triples(spark, output_dir).filter(F.col(BUCKET_COL).isin(buckets))
+
+
+# ---------------------------------------------------------------- append mode
+# (streaming micro-batches: one WAVE per batch, idempotent under replays)
+
+
+def _append_manifest_path(output_dir: str, wave: int) -> str:
+    return os.path.join(output_dir, 'manifest', f'wave={wave}.json')
+
+
+def appended_waves(output_dir: str) -> List[int]:
+    mdir = os.path.join(output_dir, 'manifest')
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith('wave=') and name.endswith('.json'):
+            out.append(int(name[len('wave='):-len('.json')]))
+    return sorted(out)
+
+
+def append_triples(
+    triples: DataFrame,
+    output_dir: str,
+    n_buckets: int = 64,
+    wave: int = 0,
+    bucket_key: str = 'subject',
+) -> dict:
+    """Append-mode materialization for STREAMING micro-batches: each batch
+    is one ``wave``, written under ``data/wave=<w>/conv_bucket=<b>/`` and
+    committed by ONE atomic wave marker (``manifest/wave=<w>.json``,
+    os.replace).  The batch-level exactly-once contract foreachBatch
+    needs:
+
+    - **replay-idempotent**: Structured Streaming re-runs a failed batch
+      with the SAME batch id.  A replay first checks the wave marker (→
+      no-op if committed), else DYNAMIC-OVERWRITES only its own
+      ``wave=<w>`` partition directories — a half-written first attempt
+      is replaced, never doubled, and no other wave's files are touched.
+    - **all-or-nothing visibility**: readers (`read_appended` /
+      `read_append_snapshot`) take the committed-wave list from the
+      markers, so uncommitted data files are invisible.
+
+    The batch-mode sibling (`materialize_triples`) is for full-frame jobs
+    (bucket-level resume over ONE dataset); this is for accumulating
+    deltas — the wave is the checkpoint unit, not the bucket.  Returns
+    the wave's manifest entry.
+
+    Scale shape: one ``repartition(bucket)`` shuffle per batch (avoids
+    per-task small files, same as the batch path), row count observed on
+    the write action for free.  Partition layout stays prunable on BOTH
+    wave (snapshot reads) and bucket (key-routed reads).
+    """
+    import time as _time
+
+    from pyspark.sql import Observation
+
+    marker = _append_manifest_path(output_dir, wave)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+
+    spark = triples.sparkSession
+    t0 = _time.time()
+    bucketed = with_bucket(triples, n_buckets, bucket_key).withColumn(
+        'wave', F.lit(int(wave))
+    )
+    obs = Observation()
+    spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+    (
+        bucketed.observe(obs, F.count(F.lit(1)).alias('rows'))
+        .repartition(BUCKET_COL)
+        .write.mode('overwrite')
+        .partitionBy('wave', BUCKET_COL)
+        .parquet(os.path.join(output_dir, 'data'))
+    )
+    row = {
+        'wave': int(wave),
+        'rows': int(obs.get['rows']),
+        'ms': int((_time.time() - t0) * 1000),
+    }
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(row, f)
+    os.replace(tmp, marker)
+    return row
+
+
+def read_appended(spark: SparkSession, output_dir: str) -> DataFrame:
+    """All COMMITTED waves (marker-gated — uncommitted files invisible)."""
+    waves = appended_waves(output_dir)
+    return spark.read.parquet(os.path.join(output_dir, 'data')).filter(
+        F.col('wave').isin(waves) if waves else F.lit(False)
+    )
+
+
+def read_append_snapshot(spark: SparkSession, output_dir: str, max_wave: int) -> DataFrame:
+    """Time travel over the append log: committed waves ≤ ``max_wave``
+    (wave = micro-batch id, so this is 'the table as of batch N');
+    partition-pruned on the wave column."""
+    waves = [w for w in appended_waves(output_dir) if w <= max_wave]
+    return spark.read.parquet(os.path.join(output_dir, 'data')).filter(
+        F.col('wave').isin(waves) if waves else F.lit(False)
+    )

@@ -113,3 +113,33 @@ def enrich_stream(
     from pyspark.sql import functions as F
 
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def stream_materialize(
+    triples_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    bucket_key: str = 'subject',
+):
+    """The full streaming-ELT north-star path: drain the triple stream
+    AvailableNow through ``plans.lineage.append_triples`` — one WAVE per
+    micro-batch, batch-id = wave-id, committed by an atomic wave marker.
+
+    Exactly-once end to end: Structured Streaming's checkpoint replays a
+    failed batch with the same id; ``append_triples`` is
+    replay-idempotent (committed wave → no-op; half-written wave →
+    dynamic-overwritten in place), so the materialized table contains
+    each input row exactly once no matter where a crash lands.  Readers
+    go through the wave markers (``read_appended`` /
+    ``read_append_snapshot``) and never see uncommitted files.
+    """
+    from ..plans.lineage import append_triples
+
+    def batch_fn(batch_df: DataFrame, batch_id: int):
+        append_triples(
+            batch_df, output_dir, n_buckets=n_buckets, wave=int(batch_id),
+            bucket_key=bucket_key,
+        )
+
+    return write_stream_available_now(triples_stream, checkpoint_dir, batch_fn)

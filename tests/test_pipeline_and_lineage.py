@@ -274,3 +274,50 @@ def test_snapshot_log_and_time_travel(spark, transcripts, tmp_path):
     assert min(set(waves_all) - first_waves) > max(first_waves)
     # full snapshot = full table
     assert read_snapshot(spark, crash, max(waves_all)).count() == intrinsic.count()
+
+
+def test_append_mode_exactly_once_and_snapshots(spark, transcripts, tmp_path):
+    """Streaming append-mode materialization: one wave per batch, atomic
+    markers, replay-idempotent writes, marker-gated reads."""
+    from dgraphpandas_spark import horizontal_transform
+    from dgraphpandas_spark.plans.lineage import (
+        _append_manifest_path,
+        append_triples,
+        appended_waves,
+        read_append_snapshot,
+        read_appended,
+    )
+
+    intrinsic, _ = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
+    b0 = intrinsic.filter("pmod(xxhash64(subject), 2) = 0")
+    b1 = intrinsic.filter("pmod(xxhash64(subject), 2) = 1")
+    out = str(tmp_path / 'append')
+
+    m0 = append_triples(b0, out, n_buckets=4, wave=0)
+    assert m0['rows'] == b0.count()
+
+    # replay of a COMMITTED wave is a no-op (returns the committed entry)
+    again = append_triples(b0.limit(1), out, n_buckets=4, wave=0)
+    assert again == m0
+    assert read_appended(spark, out).count() == b0.count()
+
+    # half-written wave (data present, no marker) is invisible to readers
+    # and fully replaced by the replay — never doubled
+    import os as _os
+
+    append_triples(b1, out, n_buckets=4, wave=1)
+    marker = _append_manifest_path(out, 1)
+    _os.remove(marker)                        # simulate crash before commit
+    assert read_appended(spark, out).count() == b0.count()   # wave 1 invisible
+    append_triples(b1, out, n_buckets=4, wave=1)             # replay
+    total = read_appended(spark, out).count()
+    assert total == b0.count() + b1.count()   # exactly once, not doubled
+
+    # snapshots: wave 0 alone, then both
+    assert appended_waves(out) == [0, 1]
+    assert read_append_snapshot(spark, out, 0).count() == b0.count()
+    assert read_append_snapshot(spark, out, 1).count() == total
+    # content equals the batch transform exactly
+    got = sorted(map(tuple, read_appended(spark, out).drop('wave', 'conv_bucket').collect()))
+    want = sorted(map(tuple, intrinsic.collect()))
+    assert got == want
