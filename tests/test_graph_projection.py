@@ -115,3 +115,28 @@ def test_triangle_count_fuzz_vs_bruteforce(spark):
             pdf = pdf.limit(0)
         got = triangle_count(pdf).collect()[0]['n_triangles']
         assert got == want, (trial, pairs, got, want)
+
+
+def test_projection_fuzz_vs_python(spark):
+    import itertools
+    import random
+
+    rng = random.Random(41)
+    for trial in range(6):
+        convs = [f'c{i}' for i in range(rng.randint(1, 5))]
+        tools = [f't{i}' for i in range(rng.randint(2, 5))]
+        edges = [
+            (c, t) for c, t in itertools.product(convs, tools) if rng.random() < 0.5
+        ]
+        if not edges:
+            continue
+        # python ground truth: distinct (src,dst); weight = shared srcs
+        eset = set(edges)
+        want = {}
+        for a, b in itertools.combinations(sorted(tools), 2):
+            w = sum(1 for c in convs if (c, a) in eset and (c, b) in eset)
+            if w:
+                want[(a, b)] = w
+        edf = spark.createDataFrame(edges, 'src string, dst string')
+        got = {(r['a'], r['b']): r['weight'] for r in bipartite_project(edf).collect()}
+        assert got == want, (trial, edges, got, want)

@@ -259,3 +259,39 @@ def test_funnel_matches_duckdb(spark, con, rows):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_retention_matches_duckdb(spark, con, case):
+    """Cohort retention vs the SQL mirror under arbitrary first-seen /
+    return patterns (days spread across ~3 weeks)."""
+    from dgraphpandas_spark.operators.funnels import retention
+
+    rows, _ = case
+    base = dt.datetime(2024, 1, 1)   # a Monday — clean week boundaries
+    srows = [(k, base + dt.timedelta(days=t)) for (k, t) in rows]
+    df = spark.createDataFrame(srows, 'user_id int, ts timestamp')
+    # DuckDB date_trunc('week') yields DATE, Spark yields TIMESTAMP —
+    # normalize to date (the driver oracle sidesteps this via epoch_us)
+    got = sorted(
+        (r['cohort_start'].date(), r['offset'], r['n_active'])
+        for r in retention(df, period='week').collect()
+    )
+    con.execute('DROP TABLE IF EXISTS rt')
+    con.execute('CREATE TABLE rt(user_id INT, ts TIMESTAMP)')
+    con.executemany('INSERT INTO rt VALUES (?, ?)', srows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH ev AS (SELECT user_id, date_trunc('week', ts) AS p FROM rt), "
+            "first AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1) "
+            "SELECT f.cohort, CAST(datediff('day', f.cohort, e.p) / 7 AS INT), "
+            "count(DISTINCT e.user_id) FROM ev e JOIN first f USING (user_id) GROUP BY 1, 2"
+        ).fetchall()
+    )
+    assert got == want
