@@ -1177,6 +1177,24 @@ def q_kg_triangles(spark, sf_dir):
     return triangle_count(proj.select('a', 'b'))
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Corrupt-tail negative sampling for KG-embedding training
+    (operators/graph.py:negative_sample): each order→customer edge emits
+    2 negatives with a deterministic md5-drawn tail ≠ the true tail.
+    Node indexing is the two-pass parallel dense-id assignment
+    (bucket hash → per-bucket counts → driver prefix offsets →
+    partitioned row_number — no global sort); the DuckDB oracle replays
+    the identical buckets, offsets, draws, and the +1 collision probe."""
+    from dgraphpandas_spark.operators.graph import negative_sample
+
+    _, edges = horizontal_transform(
+        _t(spark, sf_dir, 'orders'), ORDERS_OVERRIDE_CONFIG, 'order'
+    )
+    e = edges.select('subject', 'predicate', 'object')
+    nodes = e.select(F.col('object').alias('id'))
+    return negative_sample(e, nodes, k=2, seed=42)
+
+
 def q_kg_incremental_merge(spark, sf_dir):
     """Incremental KG merge (Dgraph upsert semantics,
     operators/canonicalize.py:merge_triples): a delta batch REPLACES
@@ -1663,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_pagerank': q_kg_pagerank,
         'kg_degree_stats': q_kg_degree_stats,
         'kg_incremental_merge': q_kg_incremental_merge,
+        'kg_negative_samples': q_kg_negative_samples,
         'kg_orphan_edges': q_kg_orphan_edges,
         'kg_khop': q_kg_khop,
         'kg_tool_cooccurrence': q_kg_tool_cooccurrence,
@@ -2262,6 +2281,34 @@ pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
 e AS (SELECT conv AS src, tool AS dst FROM pairs
       UNION ALL SELECT tool AS src, conv AS dst FROM pairs)"""
     sql['kg_pagerank'] = _pagerank_sql(_PR_EDGES, iters=3, damping=0.85)
+    sql['kg_negative_samples'] = """
+WITH e AS (SELECT 'order_' || o_orderkey AS subject, 'customer' AS predicate,
+                  'customer_' || o_custkey AS object FROM orders),
+nodes AS (SELECT DISTINCT object AS id FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+bkt AS (SELECT id, ('0x' || substr(md5(id), 1, 8))::bigint % 64 AS b FROM nodes),
+cnt AS (SELECT b, count(*) AS c FROM bkt GROUP BY 1),
+off AS (SELECT b, coalesce(sum(c) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM cnt),
+idx AS (SELECT bkt.id,
+               off.o + row_number() OVER (PARTITION BY bkt.b ORDER BY bkt.id) - 1 AS idx
+        FROM bkt JOIN off ON bkt.b = off.b),
+fan AS (SELECT e.*, u.i AS neg_idx FROM e, unnest([0, 1]) AS u(i)),
+drawn AS (
+  SELECT f.subject, f.predicate, f.object, f.neg_idx, ti.idx AS true_idx,
+         ('0x' || substr(md5(f.subject || '|' || f.predicate || '|' || f.object
+                             || '|' || CAST(f.neg_idx AS VARCHAR) || '|42'), 1, 8))::bigint
+           % (SELECT n FROM nn) AS draw
+  FROM fan f JOIN idx ti ON f.object = ti.id),
+resolved AS (
+  SELECT subject, predicate, object, neg_idx,
+         CASE WHEN draw = true_idx THEN (draw + 1) % (SELECT n FROM nn) ELSE draw END AS nidx
+  FROM drawn)
+SELECT r.subject, r.predicate, r.object, CAST(r.neg_idx AS INT) AS neg_idx,
+       ni.id AS neg_object
+FROM resolved r JOIN idx ni ON r.nidx = ni.idx
+"""
+
     sql['kg_khop'] = f"""
 WITH RECURSIVE {_PR_EDGES.strip()},
 walk(id, hop) AS (

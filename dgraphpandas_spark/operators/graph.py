@@ -198,3 +198,95 @@ def degree_stats(edges: DataFrame, src: str = 'src', dst: str = 'dst') -> DataFr
             F.coalesce('in_degree', F.lit(0)).alias('in_degree'),
         )
     )
+
+
+def index_nodes(nodes: DataFrame, id_col: str = 'id', n_buckets: int = 64) -> DataFrame:
+    """Assign every node a dense, deterministic integer index [0, n) WITHOUT
+    a global sort: nodes hash into ``n_buckets`` buckets; per-bucket counts
+    (one tiny aggregate) become driver-side prefix offsets; the final index
+    is offset[bucket] + row_number within the bucket — the per-bucket
+    window is PARTITIONED, so every bucket sorts in parallel.  The classic
+    two-pass dense-id assignment (what zipWithIndex does under the hood,
+    expressed in DataFrame ops so an oracle can replay it).  Returns
+    DataFrame[id, idx].
+    """
+    from pyspark.sql import Window
+
+    # md5-derived bucket (not xxhash64): every hash in this operator is
+    # md5 so a DuckDB oracle reproduces the identical indices and draws
+    # (same convention as operators/dedup.py)
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast('binary')), 1, 8), 16, 10)
+        .cast('long') % n_buckets
+    ).cast('int')
+    with_b = nodes.select(F.col(id_col).alias('id')).distinct().withColumn('__b', b)
+    counts = {r['__b']: r['c'] for r in with_b.groupBy('__b').agg(F.count('*').alias('c')).collect()}
+    offsets, acc = {}, 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+    off_expr = None
+    for bk, off in offsets.items():
+        off_expr = F.when(F.col('__b') == bk, F.lit(off)) if off_expr is None else off_expr.when(F.col('__b') == bk, F.lit(off))
+    w = Window.partitionBy('__b').orderBy('id')
+    return with_b.select(
+        'id',
+        (off_expr + F.row_number().over(w) - 1).cast('long').alias('idx'),
+    )
+
+
+def negative_sample(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 2,
+    seed: int = 42,
+    src: str = 'subject',
+    rel: str = 'predicate',
+    dst: str = 'object',
+) -> DataFrame:
+    """Corrupt-tail negative sampling for KG-embedding training (TransE
+    et al.): each positive edge emits ``k`` negatives whose tail is a
+    deterministic pseudo-random node ≠ the true tail.  Returns
+    DataFrame[subject, predicate, object, neg_idx, neg_object].
+
+    Determinism: the draw is ``md5(edge || i || seed) mod n`` (md5, not
+    xxhash64 — reproducible in any SQL engine) — stable under
+    re-runs/retries (no rand()); a collision with the TRUE tail is
+    resolved by one linear probe (+1 mod n), which lands on a different
+    node because indices are dense and unique (n ≥ 2 required).
+
+    Scale shape: node indexing is the two-pass parallel assignment
+    (``index_nodes``); the k-fan-out is a posexplode of a constant
+    sequence (narrow); resolving draws to node strings is ONE equi-join
+    against the index table keyed on idx (AQE broadcasts it while the
+    node universe fits — for web-scale universes it is a co-partitioned
+    shuffle join, still never all-pairs).
+    """
+    idx = index_nodes(nodes)
+    n = idx.count()
+    if n < 2:
+        raise ValueError('negative sampling needs >= 2 distinct nodes')
+
+    fan = edges.select(
+        src, rel, dst,
+        F.posexplode(F.array(*[F.lit(i) for i in range(k)])).alias('neg_idx', '__i'),
+    ).drop('__i')
+    key = F.concat_ws('|', F.col(src), F.col(rel), F.col(dst),
+                      F.col('neg_idx').cast('string'), F.lit(str(seed)))
+    draw = (
+        F.conv(F.substring(F.md5(key.cast('binary')), 1, 8), 16, 10).cast('long') % n
+    )
+    with_true = fan.join(
+        idx.select(F.col('id').alias(dst), F.col('idx').alias('__true_idx')), dst
+    )
+    resolved = with_true.withColumn(
+        '__neg_idx_node',
+        F.when(draw == F.col('__true_idx'), (draw + 1) % n).otherwise(draw),
+    )
+    return (
+        resolved.join(
+            idx.select(F.col('idx').alias('__neg_idx_node'), F.col('id').alias('neg_object')),
+            '__neg_idx_node',
+        )
+        .select(src, rel, dst, 'neg_idx', 'neg_object')
+    )

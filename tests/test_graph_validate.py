@@ -68,3 +68,36 @@ def test_orphan_edges_plan_collapses_before_antijoin(spark):
     anti = plan.find('LeftAnti')
     agg = plan.find('HashAggregate')
     assert anti != -1 and agg != -1
+
+
+def test_index_nodes_dense_bijection(spark):
+    from dgraphpandas_spark.operators.graph import index_nodes
+
+    nodes = spark.createDataFrame([(f'n{i}',) for i in range(37)], 'id string')
+    got = index_nodes(nodes, n_buckets=8).collect()
+    ids = sorted(r['idx'] for r in got)
+    assert ids == list(range(37))                       # dense [0, n), no gaps
+    assert len({r['id'] for r in got}) == 37            # every node indexed once
+    again = {r['id']: r['idx'] for r in index_nodes(nodes, n_buckets=8).collect()}
+    assert again == {r['id']: r['idx'] for r in got}    # deterministic
+
+
+def test_negative_sample_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from dgraphpandas_spark.operators.graph import negative_sample
+
+    edges = spark.createDataFrame(
+        [(f's{i}', 'r', f'n{i % 5}') for i in range(20)],
+        'subject string, predicate string, object string',
+    )
+    nodes = spark.createDataFrame([(f'n{i}',) for i in range(5)], 'id string')
+    out = negative_sample(edges, nodes, k=3, seed=7)
+    rows = out.collect()
+    assert len(rows) == 60                                      # k per edge
+    assert all(r['neg_object'] != r['object'] for r in rows)    # never the true tail
+    assert all(r['neg_object'].startswith('n') for r in rows)   # from the universe
+    again = sorted(map(tuple, negative_sample(edges, nodes, k=3, seed=7).collect()))
+    assert again == sorted(map(tuple, rows))                    # deterministic
+    other = sorted(map(tuple, negative_sample(edges, nodes, k=3, seed=8).collect()))
+    assert other != again                                       # seed matters
