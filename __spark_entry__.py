@@ -1652,7 +1652,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver checks entries in dict order with a
+    # ~50-entry cap (25→39→50 across rounds).  Rounds 1-3 always checked
+    # the same head, so the 36 entries below had never appeared in a
+    # CORRECTNESS_r*.json despite passing tools/check_oracles.py locally
+    # (round-3 verdict item #2).  They now come FIRST, followed by
+    # corpus_pack (round 3's one red row, fixed round 4) and the new
+    # round-4 queries; the long-driver-green kg_*/stream_*/dedup_*
+    # families take the tail.
     return {
+        # -- never driver-checked before round 4 ------------------------
+        'ann_cosine_topk': q_ann_cosine_topk,
+        'ann_lsh_histogram': q_ann_lsh_histogram,
+        'ann_ivf_histogram': q_ann_ivf_histogram,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
+        'ann_ivf_materialized_topk': q_ann_ivf_materialized_topk,
+        'ann_recall': q_ann_recall,
+        'dedup_semantic': q_dedup_semantic,
+        'emb_covariance': q_emb_covariance,
+        'emb_neardup_lsh': q_emb_neardup_lsh,
+        'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
+        'emb_neardup_pairs': q_emb_neardup_pairs,
+        'multimodal_meta': q_multimodal_meta,
+        'multimodal_wav_decode': q_multimodal_wav_decode,
+        'events_sessionize': q_events_sessionize,
+        'events_asof_join': q_events_asof_join,
+        'events_rolling': q_events_rolling,
+        'events_quantiles': q_events_quantiles,
+        'events_cardinality': q_events_cardinality,
+        'events_ewma': q_events_ewma,
+        'events_funnel': q_events_funnel,
+        'events_retention': q_events_retention,
+        'events_json_props': q_events_json_props,
+        'kg_tool_transitions': q_kg_tool_transitions,
+        'kg_triple_history': q_kg_triple_history,
+        'text_pii_redact': q_text_pii_redact,
+        'text_stats': q_text_stats,
+        'text_repetition': q_text_repetition,
+        'text_winnow_fingerprints': q_text_winnow_fingerprints,
+        'text_vocab_topk': q_text_vocab_topk,
+        'text_unigram_logprob': q_text_unigram_logprob,
+        'corpus_tokenize': q_corpus_tokenize,
+        'corpus_sample_stratified': q_corpus_sample_stratified,
+        'corpus_sample_weighted': q_corpus_sample_weighted,
+        'corpus_chunk': q_corpus_chunk,
+        'stream_static_enrich': q_stream_static_enrich,
+        # -- round 3's one red row (total-order fix, round 4) -----------
+        'corpus_pack': q_corpus_pack,
+        # -- new in round 4 ----------------------------------------------
+        # -- driver-green in rounds 1-3 ----------------------------------
         'kg_customer_intrinsic': q_kg_customer_intrinsic,
         'kg_customer_edges': q_kg_customer_edges,
         'kg_events_intrinsic': q_kg_events_intrinsic,
@@ -1701,44 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_blocks': q_dedup_blocks,
         'corpus_curation': q_corpus_curation,
         'corpus_split': q_corpus_split,
-        'corpus_pack': q_corpus_pack,
         'corpus_decontaminate': q_corpus_decontaminate,
-        'corpus_sample_stratified': q_corpus_sample_stratified,
-        'corpus_sample_weighted': q_corpus_sample_weighted,
-        'corpus_chunk': q_corpus_chunk,
-        'stream_static_enrich': q_stream_static_enrich,
-        'text_vocab_topk': q_text_vocab_topk,
-        'corpus_tokenize': q_corpus_tokenize,
-        'text_unigram_logprob': q_text_unigram_logprob,
-        'events_sessionize': q_events_sessionize,
-        'events_asof_join': q_events_asof_join,
-        'events_rolling': q_events_rolling,
-        'events_quantiles': q_events_quantiles,
-        'events_cardinality': q_events_cardinality,
-        'events_ewma': q_events_ewma,
-        'events_funnel': q_events_funnel,
-        'kg_tool_transitions': q_kg_tool_transitions,
-        'events_retention': q_events_retention,
-        'kg_triple_history': q_kg_triple_history,
-        'text_pii_redact': q_text_pii_redact,
-        'text_stats': q_text_stats,
-        'text_repetition': q_text_repetition,
-        'text_winnow_fingerprints': q_text_winnow_fingerprints,
-        'events_json_props': q_events_json_props,
-        'ann_cosine_topk': q_ann_cosine_topk,
-        'ann_lsh_histogram': q_ann_lsh_histogram,
-        'ann_ivf_histogram': q_ann_ivf_histogram,
-        'ann_ivf_topk': q_ann_ivf_topk,
-        'ann_ivf_trained_topk': q_ann_ivf_trained_topk,
-        'ann_ivf_materialized_topk': q_ann_ivf_materialized_topk,
-        'ann_recall': q_ann_recall,
-        'dedup_semantic': q_dedup_semantic,
-        'emb_covariance': q_emb_covariance,
-        'emb_neardup_lsh': q_emb_neardup_lsh,
-        'emb_neardup_lsh_multiprobe': q_emb_neardup_lsh_multiprobe,
-        'emb_neardup_pairs': q_emb_neardup_pairs,
-        'multimodal_meta': q_multimodal_meta,
-        'multimodal_wav_decode': q_multimodal_wav_decode,
     }
 
 
@@ -2542,15 +2554,23 @@ FROM g JOIN ev USING (s)
 GROUP BY 1
 """
 
+    # packing order mirrors pack_sequences' TOTAL order (id, n_tokens,
+    # md5(text)) — `ORDER BY doc_id` alone is not total under duplicate
+    # ids, and the engines' tie orders differ (Spark partition-arrival vs
+    # DuckDB scan-stable); NULLS FIRST matches Spark's ASC default
     toks_pack = _TOKS.format(col='text')
     sql['corpus_pack'] = f"""
 WITH t AS (SELECT doc_id,
-                  CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len({toks_pack}) END::bigint AS n_tokens,
+                  COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len({toks_pack}) END, 0)::bigint AS n_tokens,
+                  md5(COALESCE(text, '')) AS tie,
                   {_BKT.format(n=8)} AS shard
            FROM documents),
 o AS (SELECT shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             sum(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY doc_id ASC NULLS FIRST,
+                                          n_tokens ASC NULLS FIRST,
+                                          tie ASC NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
       FROM t)
 SELECT shard, start_offset // 512 AS pack_id, count(*) AS n_docs,

@@ -86,23 +86,43 @@ def pack_sequences(
     across shards — n_shards is the parallelism knob, sized so a shard's
     token stream fits one task).  Output adds (shard, start_offset,
     pack_id); deterministic, no sampling state.
+
+    Ordering contract: the packing order within a shard is the TOTAL
+    order (id, n_tokens, md5(text)) — ``ORDER BY id`` alone is not total
+    when ids repeat, and Spark's window sort is unstable across partition
+    arrival order while other engines' may be scan-order-stable, so a
+    tied boundary row could flip pack assignment between engines.  The
+    md5-of-text tiebreak pins every non-identical row; fully identical
+    rows are interchangeable, so the result is engine-portable.
     """
     shard = _id_bucket(F.col(id_col), n_shards)
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy('shard')
-        .orderBy(id_col)
+        .orderBy(
+            F.asc_nulls_first(id_col),
+            F.asc('n_tokens'),
+            F.asc('__pack_tie'),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         df.select(F.col(id_col), F.col(text_col), shard.alias('shard'))
-        .withColumn('n_tokens', token_count(F.col(text_col)).cast('long'))
+        # coalesce: null/whitespace-only text packs as 0 tokens (never a
+        # null that engines order/sum differently)
+        .withColumn(
+            'n_tokens',
+            F.coalesce(token_count(F.col(text_col)).cast('long'), F.lit(0)),
+        )
+        .withColumn(
+            '__pack_tie', F.md5(F.coalesce(F.col(text_col).cast('string'), F.lit('')))
+        )
         .withColumn('start_offset', F.sum('n_tokens').over(w) - F.col('n_tokens'))
         # integral DIV, not floor(double/...): a shard's token stream can
         # exceed 2^53 at the 100-TB scale, where double division misbins
         .withColumn('pack_id', F.expr(f'start_offset DIV {int(capacity)}'))
-        .drop(text_col)
+        .drop(text_col, '__pack_tie')
     )
 
 
