@@ -164,24 +164,41 @@ def minhash_lsh_candidates(
 
     Plan shape matters: ONE signature aggregation (not a per-band union,
     which would recompute the agg per band per join side), bands fanned out
-    with a narrow ``posexplode``, then pairs expanded *within* each bucket
-    group — a single shuffle on bucket, never an all-pairs join.
-    ``max_bucket`` drops degenerate hot buckets (a bucket of k docs yields
-    k² pairs — the LSH hot-key guard at scale)."""
+    with a narrow ``posexplode``, then pairs expanded as a *within-bucket
+    self-join* (``a JOIN b ON bucket WHERE id_a < id_b``) — a single
+    logical shuffle on bucket, never an all-pairs join.  ``max_bucket``
+    drops degenerate hot buckets (a bucket of k docs yields k² pairs —
+    the LSH hot-key guard at scale).
+
+    Why a self-join and not ``collect_set`` + double ``explode`` (the
+    round-3 shape): collect_set is a payload-carrying aggregate partial
+    combine cannot shrink, and the double explode expands all k² pair
+    rows of a hot bucket inside ONE task — a 10⁸-row single-task
+    explosion at the default cap.  The join form keeps per-row width
+    constant, lets AQE's skew-join split a hot bucket across tasks, and
+    Spark's ReuseExchange dedupes the two identical join inputs, so the
+    bucket stream is still shuffled once."""
     sigs = minhash_signatures(df, id_col, text_col, n, bands)
     buckets = sigs.select(
         'id',
         F.posexplode(F.array(*[F.col(f'sig_{j}') for j in range(bands)])).alias('band', 'sig'),
     ).select('id', F.concat(F.col('band').cast('string'), F.lit('|'), F.col('sig')).alias('bucket'))
-    grouped = (
+    # ids are unique within a bucket (the band index is part of the bucket
+    # key and posexplode emits one row per (id, band)), so count(*) is the
+    # bucket's membership size
+    ok = (
         buckets.groupBy('bucket')
-        .agg(F.collect_set('id').alias('ids'))
-        .filter((F.size('ids') >= 2) & (F.size('ids') <= max_bucket))
+        .agg(F.count('*').alias('k'))
+        .filter((F.col('k') >= 2) & (F.col('k') <= max_bucket))
+        .select('bucket')
     )
+    eligible = buckets.join(ok, 'bucket')
+    a = eligible.select('bucket', F.col('id').alias('id_a'))
+    b = eligible.select('bucket', F.col('id').alias('id_b'))
     return (
-        grouped.select(F.col('ids'), F.explode('ids').alias('id_a'))
-        .select('id_a', F.explode('ids').alias('id_b'))
+        a.join(b, 'bucket')
         .filter(F.col('id_a') < F.col('id_b'))
+        .select('id_a', 'id_b')
         .distinct()
     )
 
@@ -472,6 +489,8 @@ def block_dedup(
     text_col: str = 'text',
     block: int = 8,
     max_docs: int = 1,
+    exact: bool = True,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Sub-document exact dedup at token-block granularity (the line-level
     dedup of CCNet/RefinedWeb, generalized to fixed-size token blocks for
@@ -487,9 +506,14 @@ def block_dedup(
 
     Scale shape: blocking is a per-row expression + posexplode (no
     shuffle); the frequency table is ONE hash-groupBy on the block hash
-    (map-side partial absorbs within-doc repeats; count(DISTINCT doc) is
-    the two-phase expanded distinct — swap for approx_count_distinct at
-    100 TB, documented trade); the drop step is a LEFT ANTI join of blocks
+    (map-side partial absorbs within-doc repeats; with ``exact=True``
+    count(DISTINCT doc) plans as the two-phase expanded distinct, while
+    ``exact=False`` swaps in ``approx_count_distinct(rsd)`` — a
+    constant-width HLL sketch whose partial combine fully shrinks the
+    shuffle, the right choice at 100 TB where the expanded distinct's
+    (bh, id) re-shuffle dominates; boundary blocks within ±rsd of
+    ``max_docs`` may then flip, the documented trade); the drop step is a
+    LEFT ANTI join of blocks
     against the *dup-hash list only* (boilerplate hash count ≪ block
     count, AQE broadcasts it when small); reassembly is one groupBy on the
     doc id.  Within-document repeats (count_distinct = 1) are preserved —
@@ -514,10 +538,13 @@ def block_dedup(
         'id', 'n_blocks', F.posexplode_outer(blocks_expr).alias('pos', 'btext')
     ).withColumn('bh', F.md5(F.col('btext').cast('binary')))
 
+    n_docs_agg = (
+        F.count_distinct('id') if exact else F.approx_count_distinct('id', rsd)
+    )
     dup_hashes = (
         exploded.filter(F.col('bh').isNotNull())
         .groupBy('bh')
-        .agg(F.count_distinct('id').alias('n_docs'))
+        .agg(n_docs_agg.alias('n_docs'))
         .filter(F.col('n_docs') > max_docs)
         .select('bh')
     )

@@ -75,6 +75,10 @@ def retention(
     count-distinct per (cohort, offset).  All shuffles carry keys and
     two small integers.
     """
+    # calendar periods (month/quarter/...) would need months_between, not
+    # the fixed day-width offset below — reject them explicitly
+    if period not in ('week', 'day'):
+        raise ValueError(f"period must be 'week' or 'day', got {period!r}")
     trunc = F.date_trunc(period, F.col(ts_col))
     first = df.groupBy(key_col).agg(F.min(trunc).alias('__cohort'))
     events = df.select(key_col, trunc.alias('__p'))

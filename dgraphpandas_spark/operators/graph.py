@@ -243,6 +243,7 @@ def negative_sample(
     src: str = 'subject',
     rel: str = 'predicate',
     dst: str = 'object',
+    strict: bool = False,
 ) -> DataFrame:
     """Corrupt-tail negative sampling for KG-embedding training (TransE
     et al.): each positive edge emits ``k`` negatives whose tail is a
@@ -261,11 +262,26 @@ def negative_sample(
     against the index table keyed on idx (AQE broadcasts it while the
     node universe fits — for web-scale universes it is a co-partitioned
     shuffle join, still never all-pairs).
+
+    Contract: every edge tail must appear in ``nodes`` — the tail join is
+    INNER, so an edge whose object is missing from the node universe is
+    silently dropped from the output.  Pass ``strict=True`` to detect
+    that instead: a left-anti probe (one metadata-scale action) raises
+    ValueError naming the dangling-tail count.
     """
     idx = index_nodes(nodes)
     n = idx.count()
     if n < 2:
         raise ValueError('negative sampling needs >= 2 distinct nodes')
+    if strict:
+        n_dangling = (
+            edges.select(F.col(dst).alias('id')).join(idx, 'id', 'left_anti').count()
+        )
+        if n_dangling:
+            raise ValueError(
+                f'negative_sample: {n_dangling} edge(s) have tails missing from '
+                f'nodes and would be silently dropped (strict=True)'
+            )
 
     fan = edges.select(
         src, rel, dst,

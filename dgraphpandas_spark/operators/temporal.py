@@ -155,6 +155,13 @@ def ewma(
     shuffle).  Skewed keys put one group on one task — cap group size
     upstream (sessionize first) or pre-aggregate per (key, coarse time
     bucket) if a single key's history outgrows an Arrow batch.
+
+    Tie determinism: the fold sorts by (ts, tiebreak_col?, value) —
+    ``value_col`` is ALWAYS the final sort key, so tied timestamps
+    without a ``tiebreak_col`` still fold in a fixed order (rows tied on
+    both ts and value are interchangeable: folding equal values in either
+    order yields the same state).  Pass ``tiebreak_col`` when ties should
+    resolve by a domain column (e.g. event_id) instead of by value.
     """
     import math
 
@@ -167,7 +174,7 @@ def ewma(
             StructField('ewma', DoubleType()),
         ]
     )
-    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else []) + [value_col]
 
     def fold(pdf):
         import pandas as pd
@@ -185,9 +192,8 @@ def ewma(
             {key_col: [pdf[key_col].iloc[0]], 'n_events': [len(vals)], 'ewma': [state]}
         )
 
-    return df.select(key_col, *sort_cols, value_col).groupBy(key_col).applyInPandas(
-        fold, schema=out_schema
-    )
+    cols = list(dict.fromkeys([key_col, *sort_cols, value_col]))
+    return df.select(*cols).groupBy(key_col).applyInPandas(fold, schema=out_schema)
 
 
 def scd2_history(

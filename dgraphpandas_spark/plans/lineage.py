@@ -302,19 +302,37 @@ def append_triples(
     return row
 
 
+def _empty_append_frame(spark: SparkSession) -> DataFrame:
+    """Schema-stable empty result for a store with no committed waves —
+    reading before the first append is safe by design (marker-gated), so
+    it must not surface the raw reader's path-not-found AnalysisException."""
+    return spark.createDataFrame(
+        [],
+        f'subject string, predicate string, object string, type string, '
+        f'wave int, {BUCKET_COL} int',
+    )
+
+
 def read_appended(spark: SparkSession, output_dir: str) -> DataFrame:
-    """All COMMITTED waves (marker-gated — uncommitted files invisible)."""
+    """All COMMITTED waves (marker-gated — uncommitted files invisible).
+    A store with no committed waves (including one whose data dir does not
+    exist yet) reads as an empty frame with the triple schema."""
     waves = appended_waves(output_dir)
+    if not waves or not os.path.isdir(os.path.join(output_dir, 'data')):
+        return _empty_append_frame(spark)
     return spark.read.parquet(os.path.join(output_dir, 'data')).filter(
-        F.col('wave').isin(waves) if waves else F.lit(False)
+        F.col('wave').isin(waves)
     )
 
 
 def read_append_snapshot(spark: SparkSession, output_dir: str, max_wave: int) -> DataFrame:
     """Time travel over the append log: committed waves ≤ ``max_wave``
     (wave = micro-batch id, so this is 'the table as of batch N');
-    partition-pruned on the wave column."""
+    partition-pruned on the wave column.  No committed waves in range (or
+    no data dir yet) reads as an empty frame with the triple schema."""
     waves = [w for w in appended_waves(output_dir) if w <= max_wave]
+    if not waves or not os.path.isdir(os.path.join(output_dir, 'data')):
+        return _empty_append_frame(spark)
     return spark.read.parquet(os.path.join(output_dir, 'data')).filter(
-        F.col('wave').isin(waves) if waves else F.lit(False)
+        F.col('wave').isin(waves)
     )

@@ -63,6 +63,15 @@ def test_retention_cohorts_and_offsets(spark):
     }
 
 
+def test_retention_rejects_calendar_periods(spark):
+    """ADVICE r3: 'month' would silently break the fixed day-width offset
+    math — reject anything but week/day explicitly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="'week' or 'day'"):
+        retention(_ev(spark, [(1, 'view', TS(2024, 1, 2))]), period='month')
+
+
 def test_funnel_plan_scans_input_once(spark):
     """The step reshape must be unpivot over the single aggregated row —
     a union of per-step selects scans the log once per step."""

@@ -101,3 +101,23 @@ def test_negative_sample_invariants(spark):
     assert again == sorted(map(tuple, rows))                    # deterministic
     other = sorted(map(tuple, negative_sample(edges, nodes, k=3, seed=8).collect()))
     assert other != again                                       # seed matters
+
+
+def test_negative_sample_strict_detects_dangling_tails(spark):
+    """Contract: every edge tail must appear in nodes (the tail join is
+    inner).  strict=True turns the silent drop into a ValueError; the
+    default documents-and-drops (ADVICE r3)."""
+    import pytest
+
+    from dgraphpandas_spark.operators.graph import negative_sample
+
+    edges = spark.createDataFrame(
+        [('s1', 'r', 'n0'), ('s2', 'r', 'MISSING')],
+        'subject string, predicate string, object string',
+    )
+    nodes = spark.createDataFrame([('n0',), ('n1',)], 'id string')
+    # default: the dangling edge is dropped, the resolvable one samples
+    out = negative_sample(edges, nodes, k=2, seed=1)
+    assert {r['subject'] for r in out.collect()} == {'s1'}
+    with pytest.raises(ValueError, match='1 edge'):
+        negative_sample(edges, nodes, k=2, seed=1, strict=True)

@@ -321,3 +321,11 @@ def test_append_mode_exactly_once_and_snapshots(spark, transcripts, tmp_path):
     got = sorted(map(tuple, read_appended(spark, out).drop('wave', 'conv_bucket').collect()))
     want = sorted(map(tuple, intrinsic.collect()))
     assert got == want
+
+    # ADVICE r3: reading a store BEFORE any wave committed is safe —
+    # empty frame with the triple schema, not AnalysisException
+    fresh = str(tmp_path / 'never_written')
+    empty = read_appended(spark, fresh)
+    assert empty.count() == 0
+    assert empty.columns == ['subject', 'predicate', 'object', 'type', 'wave', 'conv_bucket']
+    assert read_append_snapshot(spark, fresh, 99).count() == 0

@@ -110,6 +110,12 @@ def test_minhash_signatures_stay_hash_aggregated(spark):
     phys = p.split('== Physical Plan ==')[1]
     assert 'SortAggregate' not in phys, 'signature path must stay HashAggregate'
     assert 'HashAggregate' in phys
+    # round-4 de-spike: pair expansion is a within-bucket self-join (AQE
+    # can split a hot bucket), NOT collect_set + double explode (k² rows
+    # in one task, payload-carrying ObjectHashAggregate)
+    assert 'collect_set' not in phys
+    assert 'ObjectHashAggregate' not in phys
+    assert any(j in phys for j in ('SortMergeJoin', 'ShuffledHashJoin', 'BroadcastHashJoin'))
 
 
 def test_stratified_sample_is_a_fused_zero_shuffle_filter(spark):

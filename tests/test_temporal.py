@@ -128,6 +128,26 @@ def test_ewma_closed_form_and_ordering(spark):
     assert got[2] == (2, q(q(0.125 * 20.0 + 0.875 * 10.0)))  # 10 first, then 20
 
 
+def test_ewma_tied_ts_without_tiebreak_is_deterministic(spark):
+    """ADVICE r3: with tiebreak_col=None and tied timestamps, the fold must
+    not depend on partition arrival order — value_col is always the final
+    sort key, so ties fold in ascending value order."""
+    import math
+
+    from dgraphpandas_spark.operators.temporal import ewma
+
+    q = lambda s: math.floor(s * 1e6 + 0.5) / 1e6
+    rows = [
+        (1, TS(2024, 1, 1), 20.0),
+        (1, TS(2024, 1, 1), 10.0),  # same ts — must fold 10 then 20
+    ]
+    expected = q(q(0.125 * 20.0 + 0.875 * 10.0))
+    for _ in range(3):  # repartition shuffles arrival order between runs
+        df = spark.createDataFrame(rows, 'k int, ts timestamp, v double').repartition(4)
+        got = ewma(df, key_col='k', ts_col='ts', value_col='v').collect()[0]
+        assert (got['n_events'], got['ewma']) == (2, expected)
+
+
 def test_approx_count_distinct_scale_path_error_bound(spark):
     """events_cardinality's oracle checks the exact distinct; the 100 TB
     path is approx_count_distinct (HLL++, fixed-size mergeable sketch).
