@@ -758,6 +758,43 @@ def q_text_vocab_topk(spark, sf_dir):
     )
 
 
+_BPE_MERGES = 8
+_BPE_PATTERN = '^[a-z0-9]+$'
+
+
+def q_corpus_bpe(spark, sf_dir):
+    """BPE trainer (operators/curation.py:bpe_train): 8 iterated pair
+    merges over the documents word-frequency table — argmax pair per
+    round under the total order (count DESC, left, right), greedy
+    leftmost non-overlapping merge via the double-delimiter string
+    replace.  One corpus scan; each round is vocab-sized (one pair
+    groupBy + a 1-row argmax collect)."""
+    from dgraphpandas_spark.operators.curation import bpe_train
+
+    d = _t(spark, sf_dir, 'documents')
+    return bpe_train(d, n_merges=_BPE_MERGES, token_pattern=_BPE_PATTERN)
+
+
+def q_corpus_bpe_encode(spark, sf_dir):
+    """BPE encode (operators/curation.py:bpe_apply): replay the trained
+    merge table over every document — the merge list compiles into ONE
+    chained replace projection (zero shuffle until the per-doc regroup).
+    Emits per-doc word/subword counts and the fingerprint of the ordered
+    subword sequence — values only an order-preserving segmentation can
+    produce."""
+    from dgraphpandas_spark.operators.curation import bpe_apply, bpe_train
+
+    d = _t(spark, sf_dir, 'documents')
+    merges = bpe_train(d, n_merges=_BPE_MERGES, token_pattern=_BPE_PATTERN)
+    seg = bpe_apply(d, merges, token_pattern=_BPE_PATTERN)
+    return seg.select(
+        F.col('id').alias('doc_id'),
+        'n_words',
+        'n_subwords',
+        F.md5(F.array_join('subwords', ' ').cast('binary')).alias('subwords_fp'),
+    )
+
+
 def q_corpus_tokenize(spark, sf_dir):
     """Vocab-encode step (operators/curation.py:encode_tokens): documents
     → token-id sequences against the deterministic top-200 vocab
@@ -1701,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 3's one red row (total-order fix, round 4) -----------
         'corpus_pack': q_corpus_pack,
         # -- new in round 4 ----------------------------------------------
+        'corpus_bpe': q_corpus_bpe,
+        'corpus_bpe_encode': q_corpus_bpe_encode,
         # -- driver-green in rounds 1-3 ----------------------------------
         'kg_customer_intrinsic': q_kg_customer_intrinsic,
         'kg_customer_edges': q_kg_customer_edges,
@@ -2577,6 +2616,71 @@ SELECT shard, start_offset // 512 AS pack_id, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM o GROUP BY 1, 2
 """
+
+    # ---- BPE trainer oracle: replay the _BPE_MERGES merge rounds as a
+    # generated CTE chain (the quantize-per-round pattern of pagerank /
+    # k-means).  Symbols are chr(1)-wrapped with a DOUBLE delimiter
+    # between them, so plain replace() — leftmost non-overlapping in both
+    # engines — is exactly the greedy BPE pair merge
+    # (operators/curation.py:_bpe_delim_expr).  Argmax per round uses the
+    # total order (count DESC, l, r); an exhausted corpus leaves b{k}
+    # empty and every later round's CTEs collapse to empty, matching the
+    # operator's early stop.
+    _bpe_ctes = [
+        f"""w0 AS MATERIALIZED (SELECT cnt, chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s
+       FROM (SELECT word, count(*)::bigint AS cnt
+             FROM (SELECT unnest({_TOKS.format(col='text')}) AS word FROM documents) u
+             WHERE word <> '' AND regexp_matches(word, '{_BPE_PATTERN}')
+             GROUP BY 1) g)"""
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        _bpe_ctes.append(
+            f"""p{k} AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt)::bigint AS c
+         FROM (SELECT cnt, string_split(substring(s, 2, length(s) - 2), chr(1)||chr(1)) AS syms FROM w{k - 1}) t,
+              unnest(range(1, len(syms))) AS u(i)
+         GROUP BY 1, 2)"""
+        )
+        _bpe_ctes.append(
+            f"""b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        _bpe_ctes.append(
+            f"""w{k} AS MATERIALIZED (SELECT cnt, replace(s,
+               chr(1) || (SELECT l FROM b{k}) || chr(1) || chr(1) || (SELECT r FROM b{k}) || chr(1),
+               chr(1) || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || chr(1)) AS s
+         FROM w{k - 1})"""
+        )
+    _bpe_union = '\nUNION ALL\n'.join(
+        f'SELECT {k} AS "rank", l AS "left", r AS "right", l || r AS merged, c AS pair_count FROM b{k}'
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    sql['corpus_bpe'] = 'WITH ' + ',\n'.join(_bpe_ctes) + '\n' + _bpe_union
+
+    # encode: replay the merge list as ONE chained replace over each
+    # token's delimited symbol string (mirrors bpe_apply's compiled
+    # projection), then per-doc ordered reassembly
+    _rep = 's'
+    for k in range(1, _BPE_MERGES + 1):
+        _rep = (
+            f"replace({_rep}, chr(1) || (SELECT l FROM b{k}) || chr(1) || chr(1) || (SELECT r FROM b{k}) || chr(1), "
+            f"chr(1) || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || chr(1))"
+        )
+    sql['corpus_bpe_encode'] = (
+        'WITH ' + ',\n'.join(_bpe_ctes) + f""",
+tok AS (SELECT doc_id, i AS pos, t[i] AS word
+        FROM (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents) d,
+             unnest(range(1, len(t) + 1)) AS u(i)
+        WHERE t[i] <> '' AND regexp_matches(t[i], '{_BPE_PATTERN}')),
+seg AS (SELECT doc_id, pos,
+               string_split(substring(s2, 2, length(s2) - 2), chr(1)||chr(1)) AS syms
+        FROM (SELECT doc_id, pos, {_rep} AS s2
+              FROM (SELECT doc_id, pos,
+                           chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s
+                    FROM tok) x) y)
+SELECT doc_id, count(*)::bigint AS n_words, sum(len(syms))::bigint AS n_subwords,
+       md5(array_to_string(flatten(list(syms ORDER BY pos)), ' ')) AS subwords_fp
+FROM seg GROUP BY 1
+"""
+    )
 
     # stratified sampling mirrors operators/curation.py sample_stratified:
     # keep iff md5-bucket(doc_id, 1e6) < rate * 1e6 (rates quantized in

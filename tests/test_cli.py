@@ -71,6 +71,41 @@ def test_cli_upserts(workdir, spark):
     assert glob.glob(os.path.join(out, 'customer_intrinsic.csv', 'part-*'))
 
 
+def test_cli_reference_layout_emits_empty_edges_gz(workdir, spark):
+    """End-to-end pin of the ADVICE r3 fix: an ALL-INTRINSIC config (no
+    edge_fields) run with --reference_layout must still emit a readable
+    (empty) <src>_edges.gz single file — the reference always writes one
+    gz per frame (rdf.py:111-116) and downstream globs expect it."""
+    cfg = {
+        'transform': 'horizontal',
+        'files': {
+            'customer': {
+                'subject_fields': ['customer_id'],
+                'type_overrides': {'age': 'int32'},
+            }
+        },
+    }
+    cfg_path = workdir / 'config_intrinsic_only.json'
+    cfg_path.write_text(json.dumps(cfg))
+    out = str(workdir / 'out')
+    main(['-x', 'upserts',
+          '-f', str(workdir / 'customer.csv'),
+          '-c', str(cfg_path),
+          '-ck', 'customer',
+          '-o', out,
+          '--reference_layout'])
+
+    edges_gz = os.path.join(out, 'customer_edges.gz')
+    assert os.path.isfile(edges_gz), 'edges gz must exist as a FILE (not dir)'
+    with gzip.open(edges_gz, 'rt') as f:
+        assert f.read() == ''                      # valid empty gzip member
+    intrinsic_gz = os.path.join(out, 'customer_intrinsic.gz')
+    assert os.path.isfile(intrinsic_gz)
+    with gzip.open(intrinsic_gz, 'rt') as f:
+        lines = [l for l in f.read().splitlines() if l]
+    assert '<customer_1> <age> "23"^^<xs:int> .' in lines
+
+
 def test_cli_boolean_override_works(workdir, spark):
     """The reference's wart (value-is-not-False filter) made
     ``--add_dgraph_type_records False`` a no-op; ours must honor it."""
