@@ -1137,6 +1137,23 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_conv_tool_edges(spark, sf_dir), iters=3, damping=0.85)
 
 
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Personalized weighted PageRank (operators/graph.py:
+    pagerank_weighted) over the tool co-usage projection: rank mass
+    splits across edges by co-occurrence weight, and the walk restarts
+    proportionally to node strength (Σ incident weight — an
+    integer-exact teleport vector).  Per-round 6-dp rounding lets the
+    DuckDB oracle unroll the identical 3 rounds."""
+    from dgraphpandas_spark.operators.graph import bipartite_project, pagerank_weighted
+
+    proj = bipartite_project(_conv_tool_pairs(spark, sf_dir), src='conv', dst='tool')
+    edges = proj.select(F.col('a').alias('src'), F.col('b').alias('dst'), 'weight').unionByName(
+        proj.select(F.col('b').alias('src'), F.col('a').alias('dst'), 'weight')
+    )
+    tp = edges.groupBy(F.col('src').alias('id')).agg(F.sum('weight').alias('t'))
+    return pagerank_weighted(edges, teleport=tp, iters=3, damping=0.85)
+
+
 def q_kg_degree_stats(spark, sf_dir):
     """Per-entity in/out degree over the same graph — full-outer merge of
     two key-only count aggregates."""
@@ -1740,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 ----------------------------------------------
         'corpus_bpe': q_corpus_bpe,
         'corpus_bpe_encode': q_corpus_bpe_encode,
+        'kg_pagerank_weighted': q_kg_pagerank_weighted,
         # -- driver-green in rounds 1-3 ----------------------------------
         'kg_customer_intrinsic': q_kg_customer_intrinsic,
         'kg_customer_edges': q_kg_customer_edges,
@@ -1977,6 +1995,33 @@ def _pagerank_sql(edges_cte: str, iters: int = 3, damping: float = 0.85) -> str:
             f'round({base} / (SELECT n FROM nn) + {d} * coalesce(t.s, 0.0), 6) AS pr '
             f'FROM nodes LEFT JOIN (SELECT dst AS id, sum(pr / outd) AS s '
             f'FROM ed JOIN {prev} p ON ed.src = p.id GROUP BY dst) t ON nodes.id = t.id)'
+        )
+        prev = f'pr{it}'
+    return 'WITH ' + ',\n'.join(parts) + f'\nSELECT id, pr FROM {prev}'
+
+
+def _pagerank_weighted_sql(edges_cte: str, iters: int = 3, damping: float = 0.85) -> str:
+    """Replays operators/graph.pagerank_weighted: ``edges_cte`` must
+    define CTEs ``e(src, dst, w)`` AND ``tp(id, tw)`` (integer restart
+    weights); ranks rounded to 6 dp per unrolled round, teleport
+    normalization a single exact-integer division."""
+    parts = [
+        edges_cte.strip(),
+        'nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))',
+        'tvec AS (SELECT n.id, coalesce(tp.tw, 0) / (SELECT sum(tw) FROM tp) AS t '
+        'FROM nodes n LEFT JOIN tp ON n.id = tp.id)',
+        'wout AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1)',
+        'ed AS (SELECT e.src, e.dst, e.w, o.wout FROM e JOIN wout o ON e.src = o.src)',
+        'pr0 AS (SELECT id, t AS pr FROM tvec)',
+    ]
+    base, d = repr(1.0 - damping), repr(damping)
+    prev = 'pr0'
+    for it in range(1, iters + 1):
+        parts.append(
+            f'pr{it} AS (SELECT tv.id, '
+            f'round({base} * tv.t + {d} * coalesce(x.s, 0.0), 6) AS pr '
+            f'FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(pr * w / wout) AS s '
+            f'FROM ed JOIN {prev} p ON ed.src = p.id GROUP BY dst) x ON tv.id = x.id)'
         )
         prev = f'pr{it}'
     return 'WITH ' + ',\n'.join(parts) + f'\nSELECT id, pr FROM {prev}'
@@ -2332,6 +2377,19 @@ pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
 e AS (SELECT conv AS src, tool AS dst FROM pairs
       UNION ALL SELECT tool AS src, conv AS dst FROM pairs)"""
     sql['kg_pagerank'] = _pagerank_sql(_PR_EDGES, iters=3, damping=0.85)
+
+    # weighted/personalized: over the co-occurrence projection, restart
+    # mass proportional to node strength (integer-exact normalization)
+    _WPR_EDGES = """
+pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
+          FROM events WHERE event_type != 'click'),
+proj AS (SELECT p1.tool AS a, p2.tool AS b, count(*) AS weight
+         FROM pairs p1 JOIN pairs p2 ON p1.conv = p2.conv AND p1.tool < p2.tool
+         GROUP BY 1, 2),
+e AS (SELECT a AS src, b AS dst, weight AS w FROM proj
+      UNION ALL SELECT b AS src, a AS dst, weight AS w FROM proj),
+tp AS (SELECT src AS id, sum(w)::bigint AS tw FROM e GROUP BY 1)"""
+    sql['kg_pagerank_weighted'] = _pagerank_weighted_sql(_WPR_EDGES, iters=3, damping=0.85)
     sql['kg_negative_samples'] = """
 WITH e AS (SELECT 'order_' || o_orderkey AS subject, 'customer' AS predicate,
                   'customer_' || o_custkey AS object FROM orders),

@@ -76,6 +76,94 @@ def pagerank(
     return pr
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = 'src',
+    dst: str = 'dst',
+    weight: str = 'weight',
+    teleport: DataFrame | None = None,
+    iters: int = 3,
+    damping: float = 0.85,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Weighted / personalized PageRank over a weighted edge list —
+    the ranking pass a KG consumer runs over the co-occurrence
+    projection (``bipartite_project`` output), where edge multiplicity
+    matters and the walk should restart near entities of interest.
+    Returns DataFrame[id, pr].
+
+    - **weighted**: a node's rank mass splits across out-edges in
+      proportion to ``weight`` (contribution = pr·w / Σw(src)) instead
+      of uniformly.  Keep weights INTEGER (co-occurrence counts are) —
+      the per-src weight sums then stay exact on every engine; float
+      weights would make Σw order-dependent across partial aggregates.
+    - **personalized**: ``teleport`` is DataFrame[id, t] of restart
+      weights (any positive integers — normalized by their sum; nodes
+      absent from it get 0 restart mass, the true PPR semantics).
+      ``None`` means uniform 1/n — plain weighted PageRank.  The start
+      vector pr₀ IS the normalized teleport vector.
+
+    Determinism contract (same quantize-per-round trick as ``pagerank``
+    /k-means): ranks are rounded to ``ndigits`` after every iteration;
+    the teleport normalization is a single exact-integer division, so a
+    DuckDB oracle unrolling the same rounds matches bit-for-bit.
+
+    Scale shape: identical to ``pagerank`` — per iteration ONE
+    shuffle-join of (src, pr·w/Σw) contributions keyed on src and ONE
+    shuffle-agg by dst, key+double rows only; edge list and teleport
+    vector are ``localCheckpoint``-ed once; dangling mass is not
+    redistributed (standard simplification; symmetrized input — the
+    projection is symmetrized — has none).  The only driver actions are
+    the node count and the 1-row teleport total.
+    """
+    e = edges.select(F.col(src).alias('src'), F.col(dst).alias('dst'), F.col(weight).alias('w'))
+    nodes = (
+        e.select(F.col('src').alias('id'))
+        .unionByName(e.select(F.col('dst').alias('id')))
+        .distinct()
+        .localCheckpoint()
+    )
+    wout = e.groupBy('src').agg(F.sum('w').alias('wout'))
+    ed = e.join(wout, 'src').localCheckpoint()
+
+    if teleport is None:
+        n = nodes.count()
+        tvec = nodes.withColumn('t', F.lit(1.0) / F.lit(float(n))).localCheckpoint()
+    else:
+        tid, tw = teleport.columns[0], teleport.columns[1]
+        tp = teleport.select(F.col(tid).alias('id'), F.col(tw).alias('tw'))
+        total = tp.agg(F.sum('tw')).first()[0]
+        if not total:
+            raise ValueError('teleport weights must sum to a positive value')
+        tvec = (
+            nodes.join(tp, 'id', 'left')
+            .select('id', (F.coalesce(F.col('tw'), F.lit(0)) / F.lit(total)).alias('t'))
+            .localCheckpoint()
+        )
+
+    base = F.lit(1.0 - damping)
+    pr = tvec.select('id', F.col('t').alias('pr'))
+    for _ in range(iters):
+        contrib = (
+            ed.join(pr.withColumnRenamed('id', 'src'), 'src')
+            .select(F.col('dst').alias('id'), (F.col('pr') * F.col('w') / F.col('wout')).alias('c'))
+        )
+        sums = contrib.groupBy('id').agg(F.sum('c').alias('s'))
+        pr = (
+            tvec.join(sums, 'id', 'left')
+            .select(
+                'id',
+                F.round(
+                    base * F.col('t')
+                    + F.lit(damping) * F.coalesce(F.col('s'), F.lit(0.0)),
+                    ndigits,
+                ).alias('pr'),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr
+
+
 def k_hop(
     edges: DataFrame,
     seeds: DataFrame,

@@ -848,6 +848,47 @@ def test_pagerank_and_degree_stats(spark):
     assert cdeg == {'a': (1, 0), 'b': (1, 1), 'c': (0, 1)}
 
 
+def test_pagerank_weighted_and_personalized(spark):
+    """Weighted/personalized PageRank invariants: unit weights + uniform
+    teleport reduce EXACTLY to plain pagerank; heavier edges attract more
+    rank; a single-seed teleport concentrates rank at (and around) the
+    seed, and unreachable components get zero."""
+    from dgraphpandas_spark.operators.graph import pagerank, pagerank_weighted
+
+    star = spark.createDataFrame(
+        [('x', 'h'), ('y', 'h'), ('z', 'h'), ('h', 'x'), ('h', 'y'), ('h', 'z')],
+        'src string, dst string',
+    )
+    unit = star.withColumn('weight', F.lit(1))
+    want = {r['id']: r['pr'] for r in pagerank(star, iters=3).collect()}
+    got = {r['id']: r['pr'] for r in pagerank_weighted(unit, iters=3).collect()}
+    assert got == want, 'unit weights must reduce to plain pagerank'
+
+    # h splits mass 9:1 between x and y — x must outrank y
+    wg = spark.createDataFrame(
+        [('h', 'x', 9), ('h', 'y', 1), ('x', 'h', 1), ('y', 'h', 1)],
+        'src string, dst string, weight long',
+    )
+    wpr = {r['id']: r['pr'] for r in pagerank_weighted(wg, iters=3).collect()}
+    assert wpr['x'] > wpr['y']
+
+    # personalization: two disconnected 2-cycles, teleport seeded on 'a'
+    two = spark.createDataFrame(
+        [('a', 'b', 1), ('b', 'a', 1), ('c', 'd', 1), ('d', 'c', 1)],
+        'src string, dst string, weight long',
+    )
+    seed = spark.createDataFrame([('a', 1)], 'id string, t long')
+    ppr = {r['id']: r['pr'] for r in pagerank_weighted(two, teleport=seed, iters=4).collect()}
+    assert ppr['c'] == 0.0 and ppr['d'] == 0.0, 'unreachable component gets nothing'
+    assert ppr['a'] > ppr['b'] > 0
+    assert abs(sum(ppr.values()) - 1.0) < 1e-4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match='positive'):
+        pagerank_weighted(two, teleport=spark.createDataFrame([('a', 0)], 'id string, t long'))
+
+
 def test_merge_triples_upsert_semantics(spark):
     """Dgraph-style merge: delta replaces single-valued predicates,
     edges accumulate, same-batch duplicate writes resolve
