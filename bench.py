@@ -268,6 +268,12 @@ def main():
     timed('corpus_tokenize',
           lambda: entry.q_corpus_tokenize(spark, sf_dir).agg(
               F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_tokens', 'ids_fp'))).collect())
+    timed('corpus_bpe',
+          lambda: entry.q_corpus_bpe(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('rank', 'merged', 'pair_count'))).collect())
+    timed('kg_pagerank_weighted',
+          lambda: entry.q_kg_pagerank_weighted(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'pr'))).collect())
 
     total = round(time.time() - t0, 3)
     print(json.dumps({
