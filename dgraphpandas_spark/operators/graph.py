@@ -116,7 +116,12 @@ def pagerank_weighted(
     projection is symmetrized — has none).  The only driver actions are
     the node count and the 1-row teleport total.
     """
-    e = edges.select(F.col(src).alias('src'), F.col(dst).alias('dst'), F.col(weight).alias('w'))
+    # checkpoint the edge list FIRST: nodes/wout/ed/teleport all derive
+    # from it, and an upstream that is itself expensive (the bipartite
+    # projection) would otherwise be recomputed once per consumer
+    e = edges.select(
+        F.col(src).alias('src'), F.col(dst).alias('dst'), F.col(weight).alias('w')
+    ).localCheckpoint()
     nodes = (
         e.select(F.col('src').alias('id'))
         .unionByName(e.select(F.col('dst').alias('id')))
