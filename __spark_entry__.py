@@ -795,6 +795,40 @@ def q_corpus_bpe_encode(spark, sf_dir):
     )
 
 
+def q_corpus_sample_temperature(spark, sf_dir):
+    """Temperature-based data mixing (operators/curation.py:mixing_rates,
+    α=1/2 — the XLM-R/mT5 multilingual upsampling rule): keep rates
+    allocated ∝ sqrt(n_lang) toward a 30% corpus target, exact integer
+    micro-rate arithmetic (sqrt is the one IEEE-correctly-rounded power,
+    so the DuckDB oracle replays the allocation bit-for-bit), then the
+    deterministic md5-hash membership filter of sample_stratified."""
+    from dgraphpandas_spark.operators.curation import mixing_rates, sample_stratified
+
+    d = _t(spark, sf_dir, 'documents')
+    rates = mixing_rates(d, 'lang', (3, 10))
+    kept = sample_stratified(d, rates, strata_col='lang')
+    return kept.groupBy('lang').agg(
+        F.count('*').alias('n_kept'),
+        F.sum('doc_id').cast('long').alias('id_sum'),
+        F.min('doc_id').alias('id_min'),
+        F.max('doc_id').alias('id_max'),
+    )
+
+
+def q_emb_knn_graph(spark, sf_dir):
+    """Approximate kNN graph over the embedding corpus
+    (operators/simsearch.py:knn_graph) — every vector's top-5 cosine
+    neighbors among its Hamming≤1 LSH bucket candidates: one equi-join on
+    bucket (hot buckets dropped first), one per-node window; ties broken
+    by ascending neighbor id so the graph is a total order."""
+    from dgraphpandas_spark.operators.simsearch import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, 'embeddings'), k=5, n_planes=8, dim=64, seed=42,
+        multi_probe=True,
+    )
+
+
 def q_corpus_tokenize(spark, sf_dir):
     """Vocab-encode step (operators/curation.py:encode_tokens): documents
     → token-id sequences against the deterministic top-200 vocab
@@ -1758,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_bpe': q_corpus_bpe,
         'corpus_bpe_encode': q_corpus_bpe_encode,
         'kg_pagerank_weighted': q_kg_pagerank_weighted,
+        'corpus_sample_temperature': q_corpus_sample_temperature,
+        'emb_knn_graph': q_emb_knn_graph,
         # -- driver-green in rounds 1-3 ----------------------------------
         'kg_customer_intrinsic': q_kg_customer_intrinsic,
         'kg_customer_edges': q_kg_customer_edges,
@@ -2740,6 +2776,25 @@ FROM seg GROUP BY 1
 """
     )
 
+    # temperature mixing: allocation arithmetic is EXACT integer math
+    # (floor(sqrt·1e6) micro-units; hugeint // division) mirroring
+    # curation.mixing_rates, then the same md5-bucket membership filter
+    sql['corpus_sample_temperature'] = f"""
+WITH c AS (SELECT lang, count(*)::bigint AS n FROM documents GROUP BY 1),
+s AS (SELECT lang, n, floor(sqrt(n) * 1000000)::bigint AS sq FROM c),
+t AS (SELECT (sum(n)::hugeint * 3) // 10 AS target, sum(sq)::hugeint AS stot FROM s),
+r AS (SELECT lang,
+             least(1000000, ((SELECT target FROM t) * 1000000 * sq)
+                            // ((SELECT stot FROM t) * n)) AS micro
+      FROM s),
+b AS (SELECT doc_id, lang, {_BKT.format(n=1_000_000)} AS bk FROM documents)
+SELECT b.lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       min(doc_id) AS id_min, max(doc_id) AS id_max
+FROM b JOIN r ON b.lang = r.lang
+WHERE b.bk < r.micro
+GROUP BY 1
+"""
+
     # stratified sampling mirrors operators/curation.py sample_stratified:
     # keep iff md5-bucket(doc_id, 1e6) < rate * 1e6 (rates quantized in
     # Python-int space on both engines)
@@ -3218,6 +3273,26 @@ WHERE a.vec_id < p.vec_id AND round({_cosine_sql('a.v', 'p.v')}, 6) >= 0.4
     sql['multimodal_meta'] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
 FROM documents
+"""
+
+    # kNN graph: directed candidates (x meets y iff bucket(x) ∈ probes(y),
+    # a symmetric Hamming≤1 predicate), per-node top-5 window with the
+    # (cos DESC, nbr ASC) total order — mirrors simsearch.knn_graph
+    sql['emb_knn_graph'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+                  {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
+           FROM embeddings),
+okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000),
+g AS (SELECT e.* FROM e JOIN okb USING (bucket)),
+p AS (SELECT vec_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS bucket FROM g),
+cand AS (SELECT a.vec_id AS id, p.vec_id AS nbr,
+                round({_cosine_sql('a.v', 'p.v')}, 6) AS cos
+         FROM g a JOIN p ON a.bucket = p.bucket
+         WHERE a.vec_id != p.vec_id),
+r AS (SELECT id, nbr, cos,
+             row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank
+      FROM cand)
+SELECT id, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """
 
     return sql

@@ -16,6 +16,7 @@ final keep-join is an equi-join on doc id (AQE handles skew).
 """
 from __future__ import annotations
 
+import math
 from typing import Dict, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -155,13 +156,54 @@ def sample_stratified(
         F.concat(F.col(id_col).cast('string'), F.lit(salt)) if salt else F.col(id_col),
         scale,
     )
+    # round, not truncate: a rate that arrived as micro/1e6 (mixing_rates)
+    # must survive the float round-trip to the same integer threshold
     thr = None
     for stratum, rate in rates.items():
         cond = F.col(strata_col) == stratum
-        t = F.lit(int(rate * scale))
+        t = F.lit(int(round(rate * scale)))
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(F.lit(int(default_rate * scale)))
+    thr = thr.otherwise(F.lit(int(round(default_rate * scale))))
     return df.filter(bucket < thr)
+
+
+def mixing_rates(
+    df: DataFrame,
+    strata_col: str = 'lang',
+    target_frac: tuple = (3, 10),
+) -> Dict[str, float]:
+    """Temperature-based data-mixing rates (the multilingual upsampling
+    rule of XLM-R/mT5 at α = 1/2): per-stratum keep rates whose expected
+    total is ``target_frac`` of the corpus and whose allocation is
+    proportional to sqrt(n_stratum) — low-resource strata are kept at a
+    HIGHER rate than their corpus share, capped at 1.  Feed the result
+    straight into ``sample_stratified``.
+
+    Engine-portable by construction: per-stratum counts are integers;
+    sqrt is a correctly-rounded IEEE op on every engine, quantized to
+    integer micro-units (floor(sqrt(n)·1e6)) before the cross-stratum
+    sum, so the allocation arithmetic is EXACT integer math end-to-end —
+    rate_micro = (target·1e6·sq_i) // (Σsq · n_i), target = N·num//den.
+    α is fixed at 1/2 because sqrt is the one power IEEE guarantees
+    correctly rounded; a general pow(x, α) is NOT cross-engine
+    bit-stable, so other temperatures would break oracle replay.
+
+    Scale shape: ONE key-only count aggregate; the driver holds one row
+    per stratum (languages — metadata-scale).
+    """
+    num, den = int(target_frac[0]), int(target_frac[1])
+    counts = {
+        r[strata_col]: int(r['n'])
+        for r in df.groupBy(strata_col).agg(F.count('*').alias('n')).collect()
+    }
+    n_total = sum(counts.values())
+    target = n_total * num // den
+    sq = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
+    s_total = sum(sq.values())
+    return {
+        s: min(1_000_000, (target * 1_000_000 * sq[s]) // (s_total * counts[s])) / 1e6
+        for s in counts
+    }
 
 
 def build_vocab(

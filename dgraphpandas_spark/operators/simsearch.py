@@ -299,3 +299,76 @@ def covariance_matrix(
         F.split('ij', '_')[1].cast('int').alias('j'),
         'cov',
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multi_probe: bool = True,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole embedding
+    corpus — the primitive behind SemDeDup-style clustering, dataset
+    cartography, and retrieval-index bootstrapping (every node gets its
+    k most-cosine-similar neighbors, not just one query's).  Returns
+    DataFrame[id, nbr, cos, rank] with rank 1..k per id (ties broken by
+    ascending neighbor id — a total order, engine-portable).
+
+    Candidate generation is the sign-LSH block join of
+    ``dedup.embedding_neardup_pairs_lsh`` made DIRECTED: node x collects
+    every y whose Hamming-distance from x's bucket is ≤ 1 (with
+    ``multi_probe``; 0 otherwise).  The probe expansion is asymmetric
+    (only the build side explodes to its P+1 bit-flip buckets), which
+    still covers both directions — x meets y iff bucket(x) ∈ probes(y),
+    a symmetric predicate — and each (x, y) candidate arises from
+    EXACTLY one bucket match, so no dedup pass is needed before ranking.
+
+    Scale shape: one equi-join on bucket (never all-pairs; ``max_bucket``
+    drops degenerate hot buckets first — broadcast anti-join), then ONE
+    window per node over its candidate list (shuffle keyed on id; the
+    per-node candidate count is bounded by (P+1)·max_bucket).  Recall
+    follows the LSH geometry (p^P + P·p^(P-1)(1−p) per pair); raise
+    ``n_planes`` to shrink buckets and ``multi_probe`` to buy recall
+    back — the same knobs as the near-dup path, measured in
+    ``ann_recall``.
+    """
+    from pyspark.sql import Window
+
+    planes = hyperplanes(n_planes, dim, seed)
+    bucketed = df.select(
+        F.col(id_col).alias('id'),
+        F.col(vec_col).alias('v'),
+        lsh_bucket(F.col(vec_col), planes).alias('bucket'),
+    )
+    if max_bucket:
+        hot = (
+            bucketed.groupBy('bucket').count()
+            .filter(F.col('count') > max_bucket)
+            .select('bucket')
+        )
+        bucketed = bucketed.join(F.broadcast(hot), 'bucket', 'left_anti')
+    a = bucketed.select(F.col('id'), F.col('v').alias('va'), 'bucket')
+    b_src = bucketed
+    if multi_probe:
+        probes = F.array(
+            F.col('bucket'),
+            *[F.col('bucket').bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+        )
+        b_src = bucketed.select('id', 'v', F.explode(probes).alias('bucket'))
+    b = b_src.select(F.col('id').alias('nbr'), F.col('v').alias('vb'), 'bucket')
+    cand = (
+        a.join(b, 'bucket')
+        .filter(F.col('id') != F.col('nbr'))
+        .select('id', 'nbr', F.round(cosine(F.col('va'), F.col('vb')), 6).alias('cos'))
+    )
+    w = Window.partitionBy('id').orderBy(F.desc('cos'), F.asc('nbr'))
+    return (
+        cand.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select('id', 'nbr', 'cos', 'rank')
+    )

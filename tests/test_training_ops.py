@@ -889,6 +889,66 @@ def test_pagerank_weighted_and_personalized(spark):
         pagerank_weighted(two, teleport=spark.createDataFrame([('a', 0)], 'id string, t long'))
 
 
+def test_mixing_rates_temperature_allocation(spark):
+    """α=1/2 temperature mixing: low-resource strata get a HIGHER keep
+    rate than their corpus share, allocation is exact integer micro-rate
+    math, expected kept total ≈ the target fraction, rates cap at 1."""
+    import math
+
+    from dgraphpandas_spark.operators.curation import mixing_rates, sample_stratified
+
+    # 9000 'en' docs vs 100 'xx' docs
+    rows = [(i, 'en') for i in range(9000)] + [(9000 + i, 'xx') for i in range(100)]
+    df = spark.createDataFrame(rows, 'doc_id long, lang string')
+    rates = mixing_rates(df, 'lang', (3, 10))
+    assert set(rates) == {'en', 'xx'}
+    assert rates['xx'] > rates['en'], 'low-resource stratum upsampled'
+    # exact integer replay of the documented formula
+    target = 9100 * 3 // 10
+    sq = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in (('en', 9000), ('xx', 100))}
+    st = sum(sq.values())
+    for s, n in (('en', 9000), ('xx', 100)):
+        assert rates[s] == min(1_000_000, target * 1_000_000 * sq[s] // (st * n)) / 1e6
+    # expected kept mass ≈ 30% (hash membership is uniform-ish)
+    kept = sample_stratified(df, rates, strata_col='lang').count()
+    assert abs(kept - target) / target < 0.15
+    # a tiny stratum under a big target caps at 1.0
+    tiny = spark.createDataFrame(
+        [(i, 'big') for i in range(10000)] + [(10001, 'rare')],
+        'doc_id long, lang string',
+    )
+    assert mixing_rates(tiny, 'lang', (9, 10))['rare'] == 1.0
+
+
+def test_knn_graph_planted_neighbors(spark):
+    """kNN graph: planted identical vectors are each other's rank-1
+    neighbor (cos 1.0); every node emits ≤ k neighbors with contiguous
+    ranks ordered by (cos DESC, nbr ASC)."""
+    from dgraphpandas_spark.operators.simsearch import knn_graph
+
+    emb = spark.read.parquet(f'{SF_DIR}/embeddings.parquet').select('vec_id', 'embedding').limit(60)
+    planted = emb.unionByName(
+        emb.select((F.col('vec_id') + 100000).alias('vec_id'), 'embedding')
+    )
+    out = knn_graph(planted, k=3, n_planes=8, dim=64, seed=42, multi_probe=True)
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r['id'], []).append((r['rank'], r['cos'], r['nbr']))
+    for vid, nbrs in by_id.items():
+        nbrs.sort()
+        assert len(nbrs) <= 3
+        assert [n[0] for n in nbrs] == list(range(1, len(nbrs) + 1))
+        cs = [n[1] for n in nbrs]
+        assert cs == sorted(cs, reverse=True)
+    # every planted twin pair is mutually rank-1 at cos 1.0 (identical
+    # vectors share every bucket, so LSH cannot miss them)
+    base_ids = [r['vec_id'] for r in emb.select('vec_id').collect()]
+    for vid in base_ids:
+        assert by_id[vid][0][:2] == (1, 1.0)
+        assert by_id[vid + 100000][0][:2] == (1, 1.0)
+
+
 def test_merge_triples_upsert_semantics(spark):
     """Dgraph-style merge: delta replaces single-valued predicates,
     edges accumulate, same-batch duplicate writes resolve
