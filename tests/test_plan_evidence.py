@@ -214,3 +214,37 @@ def test_incremental_merge_default_path_never_sort_aggregates(spark):
     assert 'SortAggregate' not in plan
     assert 'Window' not in plan
     assert plan.count('LeftAnti') == 2, 'one anti-join per branch'
+
+
+def test_knn_graph_plan_is_bucket_join_plus_one_window(spark):
+    """knn_graph (PLANS.md §5y): candidates come from an equi-join on the
+    LSH bucket — never a cartesian/nested-loop — the hot-bucket guard is a
+    broadcast anti-join, and the top-k is ONE Window (per-node rank)."""
+    from dgraphpandas_spark.operators.simsearch import knn_graph
+
+    df = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
+    out = knn_graph(df, k=3, n_planes=8, dim=64, seed=42, multi_probe=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'CartesianProduct' not in plan
+    assert 'BroadcastNestedLoopJoin' not in plan
+    assert plan.count('Window [') == 1
+    # rank<=k is pushed into WindowGroupLimit (Partial below the exchange +
+    # Final above): each task keeps only k rows per node BEFORE the window
+    # shuffle — the map-side-combine shape for per-key top-k
+    assert 'WindowGroupLimit' in plan and 'Partial' in plan
+    assert 'LeftAnti' in plan, 'hot-bucket guard is an anti-join'
+    assert 'bucket' in plan
+
+
+def test_temperature_sampling_is_a_fused_zero_shuffle_filter(spark):
+    """mixing_rates feeds sample_stratified: the sampling stage itself must
+    stay the §5f zero-exchange scan→filter shape (the rates CASE constant-
+    folds; the only aggregate ran earlier, driver-side, metadata-scale)."""
+    from dgraphpandas_spark.operators.curation import mixing_rates, sample_stratified
+
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    rates = mixing_rates(docs, 'lang', (3, 10))
+    kept = sample_stratified(docs, rates, strata_col='lang')
+    phys = _plan(kept).split('== Physical Plan ==')[1]
+    assert 'Exchange' not in phys
+    assert 'Filter' in phys
