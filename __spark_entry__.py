@@ -829,6 +829,19 @@ def q_emb_knn_graph(spark, sf_dir):
     )
 
 
+def q_emb_knn_graph_ivf(spark, sf_dir):
+    """kNN graph, IVF variant: candidates from the k-means-trained coarse
+    quantizer cell (train_ivf_centroids + ivf_assign — the SemDeDup
+    blocking) instead of LSH buckets; one within-cell equi-join + the same
+    per-node WindowGroupLimit top-k.  The oracle replays the identical
+    quantized training rounds (shared _kmeans_ctes)."""
+    from dgraphpandas_spark.operators.simsearch import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, 'embeddings'), k=5, method='ivf', n_cells=8, iters=2
+    )
+
+
 def q_corpus_tokenize(spark, sf_dir):
     """Vocab-encode step (operators/curation.py:encode_tokens): documents
     → token-id sequences against the deterministic top-200 vocab
@@ -1794,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_pagerank_weighted': q_kg_pagerank_weighted,
         'corpus_sample_temperature': q_corpus_sample_temperature,
         'emb_knn_graph': q_emb_knn_graph,
+        'emb_knn_graph_ivf': q_emb_knn_graph_ivf,
         # -- driver-green in rounds 1-3 ----------------------------------
         'kg_customer_intrinsic': q_kg_customer_intrinsic,
         'kg_customer_edges': q_kg_customer_edges,
@@ -3294,5 +3308,24 @@ r AS (SELECT id, nbr, cos,
       FROM cand)
 SELECT id, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
 """
+
+    # IVF variant: candidates from the trained coarse-quantizer cell
+    # (shared _kmeans_ctes replay — identical quantized training rounds)
+    _knn_parts, _knn_prev = _kmeans_ctes(8, 2, 64)
+    _knn_parts.append(_final_assign_cte(_knn_prev))
+    _knn_cos = _cosine_sql('a.v', 'b.v')
+    _knn_parts.append(
+        'cand AS (SELECT a.vec_id AS id, b.vec_id AS nbr, '
+        f'round({_knn_cos}, 6) AS cos '
+        'FROM fin a JOIN fin b USING (cell) WHERE a.vec_id != b.vec_id)'
+    )
+    _knn_parts.append(
+        'r AS (SELECT id, nbr, cos, row_number() OVER ('
+        'PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank FROM cand)'
+    )
+    sql['emb_knn_graph_ivf'] = (
+        'WITH ' + ', '.join(_knn_parts)
+        + ' SELECT id, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5'
+    )
 
     return sql

@@ -311,6 +311,10 @@ def knn_graph(
     seed: int = 42,
     multi_probe: bool = True,
     max_bucket: int = 10_000,
+    method: str = 'lsh',
+    n_cells: int = 8,
+    iters: int = 2,
+    centroids=None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole embedding
     corpus — the primitive behind SemDeDup-style clustering, dataset
@@ -336,31 +340,49 @@ def knn_graph(
     ``n_planes`` to shrink buckets and ``multi_probe`` to buy recall
     back — the same knobs as the near-dup path, measured in
     ``ann_recall``.
+
+    ``method='ivf'``: candidates come from the k-means-trained coarse
+    quantizer cell instead (``train_ivf_centroids`` + ``ivf_assign`` —
+    the SemDeDup blocking): better recall on CLUSTERED real embeddings
+    (cells follow the data, hyperplanes don't), one within-cell
+    equi-join, no probe expansion; ``n_cells`` is the knob that must
+    grow with the corpus (per-cell work is O((n/n_cells)²)).
     """
     from pyspark.sql import Window
 
-    planes = hyperplanes(n_planes, dim, seed)
-    bucketed = df.select(
-        F.col(id_col).alias('id'),
-        F.col(vec_col).alias('v'),
-        lsh_bucket(F.col(vec_col), planes).alias('bucket'),
-    )
-    if max_bucket:
-        hot = (
-            bucketed.groupBy('bucket').count()
-            .filter(F.col('count') > max_bucket)
-            .select('bucket')
+    if method == 'ivf':
+        cents = centroids if centroids is not None else train_ivf_centroids(
+            df, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
-        bucketed = bucketed.join(F.broadcast(hot), 'bucket', 'left_anti')
-    a = bucketed.select(F.col('id'), F.col('v').alias('va'), 'bucket')
-    b_src = bucketed
-    if multi_probe:
-        probes = F.array(
-            F.col('bucket'),
-            *[F.col('bucket').bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+        bucketed = ivf_assign(df, vec_col=vec_col, centroids=cents).select(
+            F.col(id_col).alias('id'), F.col(vec_col).alias('v'),
+            F.col('cell').alias('bucket'),
         )
-        b_src = bucketed.select('id', 'v', F.explode(probes).alias('bucket'))
-    b = b_src.select(F.col('id').alias('nbr'), F.col('v').alias('vb'), 'bucket')
+        a = bucketed.select('id', F.col('v').alias('va'), 'bucket')
+        b = bucketed.select(F.col('id').alias('nbr'), F.col('v').alias('vb'), 'bucket')
+    else:
+        planes = hyperplanes(n_planes, dim, seed)
+        bucketed = df.select(
+            F.col(id_col).alias('id'),
+            F.col(vec_col).alias('v'),
+            lsh_bucket(F.col(vec_col), planes).alias('bucket'),
+        )
+        if max_bucket:
+            hot = (
+                bucketed.groupBy('bucket').count()
+                .filter(F.col('count') > max_bucket)
+                .select('bucket')
+            )
+            bucketed = bucketed.join(F.broadcast(hot), 'bucket', 'left_anti')
+        a = bucketed.select(F.col('id'), F.col('v').alias('va'), 'bucket')
+        b_src = bucketed
+        if multi_probe:
+            probes = F.array(
+                F.col('bucket'),
+                *[F.col('bucket').bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+            )
+            b_src = bucketed.select('id', 'v', F.explode(probes).alias('bucket'))
+        b = b_src.select(F.col('id').alias('nbr'), F.col('v').alias('vb'), 'bucket')
     cand = (
         a.join(b, 'bucket')
         .filter(F.col('id') != F.col('nbr'))

@@ -948,6 +948,15 @@ def test_knn_graph_planted_neighbors(spark):
         assert by_id[vid][0][:2] == (1, 1.0)
         assert by_id[vid + 100000][0][:2] == (1, 1.0)
 
+    # IVF variant: identical vectors land in the same trained cell, so the
+    # twins are again mutual rank-1 neighbors
+    ivf = knn_graph(planted, k=3, method='ivf', n_cells=4, iters=2)
+    ivf_by_id = {}
+    for r in ivf.collect():
+        ivf_by_id.setdefault(r['id'], []).append((r['rank'], r['cos'], r['nbr']))
+    for vid in base_ids:
+        assert min(ivf_by_id[vid])[:2] == (1, 1.0)
+
 
 def test_merge_triples_upsert_semantics(spark):
     """Dgraph-style merge: delta replaces single-valued predicates,
