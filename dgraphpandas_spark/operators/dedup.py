@@ -214,8 +214,16 @@ def jaccard_for_pairs(
 
     Cost is |pairs| × avg-shingles (two equi-joins + one agg), never
     all-pairs — this is the verify stage that makes LSH candidates safe to
-    act on."""
-    sh = shingles(df, id_col, text_col, n)
+    act on.
+
+    The shingle frame feeds THREE consumers (sizes, both join sides), so
+    it is persisted DISK_ONLY once past its distinct — same rationale as
+    ngram_jaccard_pairs: O(corpus tokens) wide, disk-backed not
+    memory-cached, and without it each consumer replays the corpus scan +
+    explode + the distinct shuffle."""
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy('id').agg(F.count('*').alias('sz'))
     sa = sh.select(F.col('id').alias('id_a'), 'shingle')
     sb = sh.select(F.col('id').alias('id_b'), 'shingle')
