@@ -99,7 +99,9 @@ def pagerank_weighted(
       weights would make Σw order-dependent across partial aggregates.
     - **personalized**: ``teleport`` is DataFrame[id, t] of restart
       weights (any positive integers — normalized by their sum; nodes
-      absent from it get 0 restart mass, the true PPR semantics).
+      absent from it get 0 restart mass, the true PPR semantics; ids
+      must be UNIQUE — a duplicate id would fan out the node row in the
+      teleport join).
       ``None`` means uniform 1/n — plain weighted PageRank.  The start
       vector pr₀ IS the normalized teleport vector.
 
