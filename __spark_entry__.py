@@ -565,6 +565,22 @@ def q_dedup_blocks(spark, sf_dir):
     return DD.block_dedup(corpus, block=8, max_docs=1)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2021 — the
+    suffix-array dedup re-expressed as positional shingles,
+    operators/dedup.py:dup_spans): per-doc fraction of tokens covered by
+    any 8-token sequence appearing verbatim in another document, over a
+    corpus where 20% of docs have a planted copy.  Marking is a semi-join
+    (linear fan-out, no pair expansion); overlapping spans merge via the
+    sorted-starts gap fold."""
+    d = _t(spark, sf_dir, 'documents')
+    corpus = d.select('doc_id', 'text').unionByName(
+        d.filter(F.col('doc_id') % 5 == 0)
+        .select((F.col('doc_id') + 1_000_000).alias('doc_id'), 'text')
+    )
+    return DD.dup_spans(corpus, n=8)
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end corpus curation: quality+language gate, then MinHash-LSH
     near-dup collapse among survivors (operators/curation.py).  The
@@ -1808,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_sample_temperature': q_corpus_sample_temperature,
         'emb_knn_graph': q_emb_knn_graph,
         'emb_knn_graph_ivf': q_emb_knn_graph_ivf,
+        'dedup_spans': q_dedup_spans,
         # -- driver-green in rounds 1-3 ----------------------------------
         'kg_customer_intrinsic': q_kg_customer_intrinsic,
         'kg_customer_edges': q_kg_customer_edges,
@@ -2640,6 +2657,34 @@ SELECT nb.doc_id, nb.n_blocks,
        CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
        md5(coalesce(agg.clean, '')) AS clean_fp
 FROM nb LEFT JOIN agg USING (doc_id)
+"""
+
+    # positional-shingle span dedup: overlapping spans merge via the
+    # sorted-starts gap fold (8 + Σ min(8, gap)) — mirrors dedup.dup_spans
+    sql['dedup_spans'] = f"""
+WITH docs AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT doc_id, {_toks_txt} AS t,
+                COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len({_toks_txt}) END, 0)::bigint AS n_tokens
+         FROM docs),
+g AS (SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gh
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+st AS (SELECT doc_id, list_sort(list(pos)) AS s
+       FROM g JOIN dup USING (gh) GROUP BY doc_id),
+cov AS (SELECT doc_id,
+               (8 + CASE WHEN len(s) >= 2
+                         THEN list_sum(list_transform(range(2, len(s) + 1),
+                                                      j -> least(8, s[j] - s[j-1])))
+                         ELSE 0 END)::bigint AS n_dup
+        FROM st)
+SELECT t.doc_id AS id, t.n_tokens,
+       COALESCE(c.n_dup, 0) AS n_dup_tokens,
+       CASE WHEN t.n_tokens = 0 THEN 0.0
+            ELSE round(COALESCE(c.n_dup, 0) / t.n_tokens, 6) END AS dup_frac
+FROM toks t LEFT JOIN cov c USING (doc_id)
 """
 
     passing_cte = (

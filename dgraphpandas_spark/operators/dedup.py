@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine
-from ..functions.text import fingerprint, tokens
+from ..functions.text import fingerprint, token_count, tokens
 
 
 def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
@@ -573,4 +573,83 @@ def block_dedup(
         'n_blocks',
         F.coalesce('n_kept', F.lit(0)).alias('n_kept'),
         F.md5(F.coalesce(F.col('__clean'), F.lit('')).cast('binary')).alias('clean_fp'),
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): for
+    every document, the fraction of tokens covered by at least one
+    ``n``-token word sequence that also appears VERBATIM in another
+    document.  Unlike ``block_dedup`` (fixed aligned blocks) this detects
+    repeats at ANY offset — the suffix-array use case of the paper,
+    re-expressed as positional shingles so it stays a hash join.  Returns
+    DataFrame[id, n_tokens, n_dup_tokens, dup_frac] over ALL documents
+    (clean docs report 0 / 0.0).
+
+    Coverage math: the marked start positions of a doc, sorted, cover
+    ``n + Σ min(n, gap)`` tokens (overlapping spans merge by construction)
+    — a pure array fold over a doc-bounded list, no second explode.
+
+    Scale shape: positional shingles are one fused projection + posexplode
+    (no shuffle); the duplicated-gram list is ONE hash-groupBy on the gram
+    md5 (map-side partials absorb within-doc repeats, count_distinct caps
+    at 2 rows per gram via the >1 filter's early aggregate); marking is a
+    LEFT SEMI join of positions against that list — row count ≤ the
+    positional gram count, so a boilerplate gram shared by k docs fans out
+    linearly (k marked rows), never quadratically (no pair expansion
+    anywhere); reassembly is one groupBy on the doc id with a sorted
+    doc-bounded position list.
+    """
+    toks = tokens(F.col(text_col))
+    src = df.select(
+        F.col(id_col).alias('id'),
+        toks.alias('__toks'),
+        F.coalesce(token_count(F.col(text_col)).cast('long'), F.lit(0)).alias('n_tokens'),
+    )
+    grams_expr = F.when(
+        F.size('__toks') < n, F.array().cast('array<string>')
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size('__toks') - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice('__toks', i, n), ' '),
+        )
+    )
+    grams = src.select(
+        'id', F.posexplode(grams_expr).alias('pos0', 'gram')
+    ).select('id', (F.col('pos0') + 1).alias('pos'), F.md5(F.col('gram').cast('binary')).alias('gh'))
+    dup = (
+        grams.groupBy('gh')
+        .agg(F.count_distinct('id').alias('nd'))
+        .filter(F.col('nd') > 1)
+        .select('gh')
+    )
+    starts = (
+        grams.join(dup, 'gh', 'left_semi')
+        .groupBy('id')
+        .agg(F.sort_array(F.collect_list('pos')).alias('s'))
+    )
+    gaps = F.expr(
+        f'aggregate(transform(sequence(2, size(s)), '
+        f'j -> least(CAST({n} AS LONG), CAST(element_at(s, j) - element_at(s, j - 1) AS LONG))), '
+        f'0L, (a, x) -> a + x)'
+    )
+    covered = F.when(F.size('s') >= 2, F.lit(n) + gaps).otherwise(F.lit(n)).cast('long')
+    marked = starts.select('id', covered.alias('n_dup_tokens'))
+    return (
+        src.select('id', 'n_tokens')
+        .join(marked, 'id', 'left')
+        .select(
+            'id',
+            'n_tokens',
+            F.coalesce('n_dup_tokens', F.lit(0)).alias('n_dup_tokens'),
+            F.when(F.col('n_tokens') == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce('n_dup_tokens', F.lit(0)) / F.col('n_tokens'), 6))
+            .alias('dup_frac'),
+        )
     )

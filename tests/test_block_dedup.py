@@ -83,6 +83,40 @@ def test_block_dedup_approx_path_matches_exact_within_hll_error(spark):
     assert 'approx_count_distinct' in buf.getvalue()
 
 
+def test_dup_spans_coverage_math(spark):
+    """dup_spans (Lee et al. exact-substring dedup): hand-computed span
+    coverage — shared grams at ANY offset mark both docs, overlapping dup
+    grams merge (8+Σmin(n,gap) fold), clean docs report 0/0.0."""
+    from dgraphpandas_spark.operators.dedup import dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, 'a b c d e'),      # shares 'a b c' with doc 2 at offset 1
+            (2, 'q a b c r'),      # ... at offset 2 (unaligned)
+            (3, 'u v w1 w2'),      # clean
+            (4, 'x y z w t'),      # two OVERLAPPING dup grams with doc 5
+            (5, 'p x y z w'),
+        ],
+        'doc_id int, text string',
+    )
+    out = {
+        r['id']: (r['n_tokens'], r['n_dup_tokens'], r['dup_frac'])
+        for r in dup_spans(df, n=3).collect()
+    }
+    assert out[1] == (5, 3, 0.6)
+    assert out[2] == (5, 3, 0.6)
+    assert out[3] == (4, 0, 0.0)
+    # 'x y z'@1 + 'y z w'@2 overlap → covered = 3 + min(3, 1) = 4
+    assert out[4] == (5, 4, 0.8)
+    assert out[5] == (5, 4, 0.8)
+    # adjacent non-overlapping dup grams: gap = n → covered = 2n exactly
+    df2 = spark.createDataFrame(
+        [(1, 'a b c x y z t'), (2, 'a b c q1 q2 x y z')], 'doc_id int, text string'
+    )
+    o2 = {r['id']: r['n_dup_tokens'] for r in dup_spans(df2, n=3).collect()}
+    assert o2[1] == 6 and o2[2] == 6
+
+
 def test_orc_seam_roundtrip(spark):
     path = os.path.join(tempfile.mkdtemp(prefix='orc_seam_'), 't.orc')
     assert is_path(path)
