@@ -2054,13 +2054,17 @@ def _pagerank_sql(edges_cte: str, iters: int = 3, damping: float = 0.85) -> str:
         'ed AS (SELECT e.src, e.dst, o.outd FROM e JOIN outd o ON e.src = o.src)',
         'pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)',
     ]
+    # contributions quantized to integer pico-units before the per-dst sum
+    # (mirrors graph.pagerank — double addition is order-dependent across
+    # engines; integer sums are order-free)
     base, d = repr(1.0 - damping), repr(damping)
     prev = 'pr0'
     for it in range(1, iters + 1):
         parts.append(
             f'pr{it} AS (SELECT nodes.id, '
-            f'round({base} / (SELECT n FROM nn) + {d} * coalesce(t.s, 0.0), 6) AS pr '
-            f'FROM nodes LEFT JOIN (SELECT dst AS id, sum(pr / outd) AS s '
+            f'round(({base} / (SELECT n FROM nn) + {d} * coalesce(t.s, 0.0)) * 1000000.0)::bigint / 1000000.0 AS pr '
+            f'FROM nodes LEFT JOIN (SELECT dst AS id, '
+            f'sum(round(pr / outd * 1000000000000.0)::bigint) / 1000000000000.0 AS s '
             f'FROM ed JOIN {prev} p ON ed.src = p.id GROUP BY dst) t ON nodes.id = t.id)'
         )
         prev = f'pr{it}'
@@ -2081,13 +2085,17 @@ def _pagerank_weighted_sql(edges_cte: str, iters: int = 3, damping: float = 0.85
         'ed AS (SELECT e.src, e.dst, e.w, o.wout FROM e JOIN wout o ON e.src = o.src)',
         'pr0 AS (SELECT id, t AS pr FROM tvec)',
     ]
+    # pico-unit contribution quantization mirrors graph.pagerank_weighted
+    # (order-free integer sums — see the property fuzz that caught the
+    # half-ulp boundary without it)
     base, d = repr(1.0 - damping), repr(damping)
     prev = 'pr0'
     for it in range(1, iters + 1):
         parts.append(
             f'pr{it} AS (SELECT tv.id, '
-            f'round({base} * tv.t + {d} * coalesce(x.s, 0.0), 6) AS pr '
-            f'FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(pr * w / wout) AS s '
+            f'round(({base} * tv.t + {d} * coalesce(x.s, 0.0)) * 1000000.0)::bigint / 1000000.0 AS pr '
+            f'FROM tvec tv LEFT JOIN (SELECT dst AS id, '
+            f'sum(round(pr * w / wout * 1000000000000.0)::bigint) / 1000000000000.0 AS s '
             f'FROM ed JOIN {prev} p ON ed.src = p.id GROUP BY dst) x ON tv.id = x.id)'
         )
         prev = f'pr{it}'

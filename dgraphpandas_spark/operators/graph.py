@@ -58,17 +58,34 @@ def pagerank(
     pr = nodes.withColumn('pr', F.lit(1.0) / F.lit(float(n)))
     base = F.lit(1.0 - damping) / F.lit(float(n))
     for _ in range(iters):
+        # per-dst sums quantized to integer pico-units before aggregation
+        # — double addition is order-dependent across engines' partial
+        # aggregates and can flip the 6-dp round at a half-ulp boundary
+        # on high-in-degree nodes (see pagerank_weighted); integer sums
+        # are order-free
         contrib = (
             ed.join(pr.withColumnRenamed('id', 'src'), 'src')
-            .select(F.col('dst').alias('id'), (F.col('pr') / F.col('outd')).alias('c'))
+            .select(
+                F.col('dst').alias('id'),
+                F.round(F.col('pr') / F.col('outd') * 1e12, 0).cast('long').alias('c_pico'),
+            )
         )
-        sums = contrib.groupBy('id').agg(F.sum('c').alias('s'))
+        sums = contrib.groupBy('id').agg((F.sum('c_pico') / 1e12).alias('s'))
+        # integer-space final quantize — see pagerank_weighted for why
+        # round(x, ndigits) is NOT engine-consistent at decimal-fraction
+        # boundaries while round-to-integer is
+        scale = F.lit(float(10 ** ndigits))
         pr = (
             nodes.join(sums, 'id', 'left')
             .select(
                 'id',
-                F.round(
-                    base + F.lit(damping) * F.coalesce(F.col('s'), F.lit(0.0)), ndigits
+                (
+                    F.round(
+                        (base + F.lit(damping) * F.coalesce(F.col('s'), F.lit(0.0)))
+                        * scale,
+                        0,
+                    ).cast('long')
+                    / scale
                 ).alias('pr'),
             )
             .localCheckpoint(eager=False)
@@ -151,19 +168,47 @@ def pagerank_weighted(
     base = F.lit(1.0 - damping)
     pr = tvec.select('id', F.col('t').alias('pr'))
     for _ in range(iters):
+        # contributions are quantized to integer PICO-units before the
+        # per-dst sum (the unigram_logprob precedent): double addition is
+        # not associative, so an unquantized Σ(pr·w/wout) depends on
+        # partial-aggregate order — Spark's partials vs another engine's
+        # scan order can flip the final quantize at a half-ulp boundary
+        # on high-in-degree nodes; integer sums are order-free.  1e12
+        # scale leaves ~1e5 in-degree of headroom under the 0.5e-6
+        # rounding slack.
         contrib = (
             ed.join(pr.withColumnRenamed('id', 'src'), 'src')
-            .select(F.col('dst').alias('id'), (F.col('pr') * F.col('w') / F.col('wout')).alias('c'))
+            .select(
+                F.col('dst').alias('id'),
+                F.round(F.col('pr') * F.col('w') / F.col('wout') * 1e12, 0)
+                .cast('long')
+                .alias('c_pico'),
+            )
         )
-        sums = contrib.groupBy('id').agg(F.sum('c').alias('s'))
+        sums = contrib.groupBy('id').agg((F.sum('c_pico') / 1e12).alias('s'))
+        # final quantize in INTEGER space (×10^ndigits → round-to-integer
+        # → ÷10^ndigits), not round(x, ndigits): the integer boundary X.5
+        # is always exactly representable, so the half-up decision is
+        # engine-consistent for ANY input double, whereas a
+        # decimal-fraction boundary like 0.5153125 is NOT a double and
+        # engines whose decimal rounding goes through shortest-string
+        # conversion (Spark's BigDecimal.valueOf) can disagree with
+        # arithmetic rounding about which side a value sits on
+        scale = F.lit(float(10 ** ndigits))
         pr = (
             tvec.join(sums, 'id', 'left')
             .select(
                 'id',
-                F.round(
-                    base * F.col('t')
-                    + F.lit(damping) * F.coalesce(F.col('s'), F.lit(0.0)),
-                    ndigits,
+                (
+                    F.round(
+                        (
+                            base * F.col('t')
+                            + F.lit(damping) * F.coalesce(F.col('s'), F.lit(0.0))
+                        )
+                        * scale,
+                        0,
+                    ).cast('long')
+                    / scale
                 ).alias('pr'),
             )
             .localCheckpoint(eager=False)

@@ -2,7 +2,10 @@
 random small weighted digraphs (hubs, self-loops, multi-edges, dangling
 nodes, disconnected components) with integer weights and a random integer
 teleport vector — both engines must agree on every rank after 3 quantized
-rounds (the corpus_pack-style regression harness for the PPR family)."""
+rounds (the corpus_pack-style regression harness for the PPR family).
+The mirror must interpolate base = repr(1.0 - damping) — the IEEE value
+0.15000000000000002, NOT the literal 0.15 — exactly as the production
+oracle builder does."""
 from __future__ import annotations
 
 import os
@@ -46,14 +49,14 @@ tvec AS (SELECT n.id, coalesce(tp.tw, 0) / (SELECT sum(tw) FROM tp) AS t
 wout AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
 ed AS (SELECT e.src, e.dst, e.w, o.wout FROM e JOIN wout o ON e.src = o.src),
 pr0 AS (SELECT id, t AS pr FROM tvec),
-pr1 AS (SELECT tv.id, round(0.15 * tv.t + 0.85 * coalesce(x.s, 0.0), 6) AS pr
-        FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(pr * w / wout) AS s
+pr1 AS (SELECT tv.id, round((0.15000000000000002 * tv.t + 0.85 * coalesce(x.s, 0.0)) * 1000000.0)::bigint / 1000000.0 AS pr
+        FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(round(pr * w / wout * 1000000000000.0)::bigint) / 1000000000000.0 AS s
                                 FROM ed JOIN pr0 p ON ed.src = p.id GROUP BY dst) x ON tv.id = x.id),
-pr2 AS (SELECT tv.id, round(0.15 * tv.t + 0.85 * coalesce(x.s, 0.0), 6) AS pr
-        FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(pr * w / wout) AS s
+pr2 AS (SELECT tv.id, round((0.15000000000000002 * tv.t + 0.85 * coalesce(x.s, 0.0)) * 1000000.0)::bigint / 1000000.0 AS pr
+        FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(round(pr * w / wout * 1000000000000.0)::bigint) / 1000000000000.0 AS s
                                 FROM ed JOIN pr1 p ON ed.src = p.id GROUP BY dst) x ON tv.id = x.id),
-pr3 AS (SELECT tv.id, round(0.15 * tv.t + 0.85 * coalesce(x.s, 0.0), 6) AS pr
-        FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(pr * w / wout) AS s
+pr3 AS (SELECT tv.id, round((0.15000000000000002 * tv.t + 0.85 * coalesce(x.s, 0.0)) * 1000000.0)::bigint / 1000000.0 AS pr
+        FROM tvec tv LEFT JOIN (SELECT dst AS id, sum(round(pr * w / wout * 1000000000000.0)::bigint) / 1000000000000.0 AS s
                                 FROM ed JOIN pr2 p ON ed.src = p.id GROUP BY dst) x ON tv.id = x.id)
 SELECT id, pr FROM pr3
 """
