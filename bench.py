@@ -274,6 +274,12 @@ def main():
     timed('kg_pagerank_weighted',
           lambda: entry.q_kg_pagerank_weighted(spark, sf_dir).agg(
               F.count('*'), F.bit_xor(F.xxhash64('id', 'pr'))).collect())
+    timed('emb_knn_graph',
+          lambda: entry.q_emb_knn_graph(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'nbr', 'rank'))).collect())
+    timed('dedup_spans',
+          lambda: entry.q_dedup_spans(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'n_dup_tokens'))).collect())
 
     total = round(time.time() - t0, 3)
     print(json.dumps({
