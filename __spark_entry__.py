@@ -1770,14 +1770,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks entries in dict order with a
-    # ~50-entry cap (25→39→50 across rounds).  Rounds 1-3 always checked
-    # the same head, so the 36 entries below had never appeared in a
-    # CORRECTNESS_r*.json despite passing tools/check_oracles.py locally
-    # (round-3 verdict item #2).  They now come FIRST, followed by
-    # corpus_pack (round 3's one red row, fixed round 4) and the new
-    # round-4 queries; the long-driver-green kg_*/stream_*/dedup_*
-    # families take the tail.
-    return {
+    # ~50-entry cap (25→39→50 across rounds).  The literal below is the
+    # round-4 order; _R5_HEAD reorders it for round 5 (see its comment).
+    base = {
         # -- never driver-checked before round 4 ------------------------
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_histogram': q_ann_lsh_histogram,
@@ -1876,6 +1871,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_split': q_corpus_split,
         'corpus_decontaminate': q_corpus_decontaminate,
     }
+    # Round-5 rotation (VERDICT r4 items #1/#7): the two r4-red queries go
+    # first (their HUGEINT oracle columns are now CAST to BIGINT — the
+    # driver must re-check them), then the 43 queries whose last driver
+    # check was round 3 (they rotated out when round 4 fronted the
+    # never-checked set), so no query goes two rounds unchecked.  The 48
+    # r4-green entries take the tail; with the ~50-entry cap the first few
+    # of those get a bonus re-check.
+    head = [
+        'corpus_pack', 'events_rolling',
+        'kg_part_csv_edges', 'kg_lineitem', 'kg_nation_pre_rename',
+        'kg_supplier_vertical', 'kg_upserts_customer',
+        'kg_conversation_edges', 'kg_link_entities',
+        'kg_region_linked_edges', 'kg_schema_lines', 'kg_types_lines',
+        'kg_rdf_gzip_roundtrip', 'source_orc_roundtrip', 'orders_star_join',
+        'events_pivot', 'docs_set_ops', 'kg_callable_config',
+        'kg_edge_id_convention', 'kg_salted_dedup', 'kg_graph_completion',
+        'kg_pagerank', 'kg_degree_stats', 'kg_incremental_merge',
+        'kg_negative_samples', 'kg_orphan_edges', 'kg_khop',
+        'kg_tool_cooccurrence', 'kg_triangles', 'text_topk_per_lang',
+        'stream_event_windows', 'stream_stateful_sessions',
+        'stream_stateful_multibatch', 'stream_replay_dedup',
+        'stream_kg_triples', 'stream_kg_materialize', 'dedup_exact',
+        'dedup_ngram_jaccard', 'dedup_minhash_lsh', 'dedup_clusters',
+        'dedup_simhash', 'dedup_blocks', 'corpus_curation', 'corpus_split',
+        'corpus_decontaminate',
+    ]
+    ordered = {name: base[name] for name in head}
+    ordered.update((name, fn) for name, fn in base.items() if name not in ordered)
+    return ordered
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -2773,7 +2797,7 @@ o AS (SELECT shard, n_tokens,
                                           tie ASC NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
       FROM t)
-SELECT shard, start_offset // 512 AS pack_id, count(*) AS n_docs,
+SELECT shard, CAST(start_offset // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM o GROUP BY 1, 2
 """
@@ -3020,7 +3044,7 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     sql['events_rolling'] = """
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        count(*) OVER w AS n_1h,
-       sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS v_sum_micro_1h
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS v_sum_micro_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
