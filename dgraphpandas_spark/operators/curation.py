@@ -150,6 +150,12 @@ def sample_stratified(
     ``rates``: stratum value → keep fraction in [0, 1].  Fractions are
     quantized to 1e-6 buckets (identically in the DuckDB oracle), so the
     kept set is exact and engine-portable.
+
+    NULL strata: the per-stratum equality predicate is never true for a
+    NULL ``strata_col`` (SQL three-valued logic), so NULL-stratum rows
+    always fall through to ``default_rate`` — a ``rates`` key of ``None``
+    is ignored.  ``mixing_rates`` therefore never emits one (it filters
+    NULL strata out of its count aggregate).
     """
     scale = 1_000_000
     bucket = _id_bucket(
@@ -190,11 +196,19 @@ def mixing_rates(
 
     Scale shape: ONE key-only count aggregate; the driver holds one row
     per stratum (languages — metadata-scale).
+
+    NULL strata are excluded from the allocation entirely (no rate is
+    emitted for them): ``sample_stratified`` can never match a NULL key,
+    so such rows sample at its ``default_rate`` — see its docstring.
     """
     num, den = int(target_frac[0]), int(target_frac[1])
+    # NULL strata are excluded: sample_stratified's equality predicate can
+    # never select them, so a NULL-keyed rate would silently leave those
+    # rows on default_rate while skewing every other allocation (ADVICE r4)
     counts = {
         r[strata_col]: int(r['n'])
-        for r in df.groupBy(strata_col).agg(F.count('*').alias('n')).collect()
+        for r in df.filter(F.col(strata_col).isNotNull())
+                   .groupBy(strata_col).agg(F.count('*').alias('n')).collect()
     }
     n_total = sum(counts.values())
     target = n_total * num // den
@@ -277,7 +291,6 @@ def _bpe_syms_expr(s: Column) -> Column:
 def bpe_train(
     df: DataFrame,
     text_col: str = 'text',
-    id_col: str = 'doc_id',
     n_merges: int = 8,
     token_pattern: str | None = None,
 ) -> DataFrame:

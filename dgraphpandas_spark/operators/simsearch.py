@@ -315,11 +315,15 @@ def knn_graph(
     n_cells: int = 8,
     iters: int = 2,
     centroids=None,
+    n_sub_planes: int = 4,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole embedding
     corpus — the primitive behind SemDeDup-style clustering, dataset
-    cartography, and retrieval-index bootstrapping (every node gets its
-    k most-cosine-similar neighbors, not just one query's).  Returns
+    cartography, and retrieval-index bootstrapping (every node gets up to
+    its k most-cosine-similar CANDIDATE neighbors; a node in a sparse
+    bucket can receive fewer than k rows, and an isolated bucket-of-one
+    yields none — rank is a cap, not a guarantee).  Returns
     DataFrame[id, nbr, cos, rank] with rank 1..k per id (ties broken by
     ascending neighbor id — a total order, engine-portable).
 
@@ -332,14 +336,31 @@ def knn_graph(
     a symmetric predicate — and each (x, y) candidate arises from
     EXACTLY one bucket match, so no dedup pass is needed before ranking.
 
-    Scale shape: one equi-join on bucket (never all-pairs; ``max_bucket``
-    drops degenerate hot buckets first — broadcast anti-join), then ONE
+    Scale shape: one equi-join on bucket (never all-pairs), then ONE
     window per node over its candidate list (shuffle keyed on id; the
     per-node candidate count is bounded by (P+1)·max_bucket).  Recall
     follows the LSH geometry (p^P + P·p^(P-1)(1−p) per pair); raise
     ``n_planes`` to shrink buckets and ``multi_probe`` to buy recall
     back — the same knobs as the near-dup path, measured in
     ``ann_recall``.
+
+    Hot buckets (> ``max_bucket`` members) are NOT silently dropped
+    (round-4 verdict item #4): members of a hot bucket are routed through
+    a FALLBACK join instead — re-bucketed with ``n_sub_planes`` extra
+    hyperplanes (independent seed), splitting each hot bucket into up to
+    2^n_sub_planes refinements, and joined within (bucket, sub) with the
+    same asymmetric Hamming-1 probe expansion over the sub bits.  Hot
+    members meet only hot members of the same original bucket, so no
+    pair can arise from both paths and no dedup pass is needed.  Hot
+    buckets are detected by an eager key-only count (result bounded by
+    2^n_planes rows — metadata-scale collect, same class as the IVF
+    centroid collect); when none exist (the common case) the fallback
+    branch is not planned at all, so the no-hot plan is IDENTICAL to a
+    capless run minus the anti-join.  Pass ``audit={}`` to receive
+    ``hot_buckets`` / ``hot_nodes`` counts (free — derived from the same
+    detection aggregate).  Nodes in degenerate refinements (a
+    bucket-of-one after sub-splitting, probes exhausted) can still end
+    with < k or zero neighbors — the cap is audited, never silent.
 
     ``method='ivf'``: candidates come from the k-means-trained coarse
     quantizer cell instead (``train_ivf_centroids`` + ``ivf_assign`` —
@@ -367,13 +388,20 @@ def knn_graph(
             F.col(vec_col).alias('v'),
             lsh_bucket(F.col(vec_col), planes).alias('bucket'),
         )
+        hot_buckets: list = []
         if max_bucket:
-            hot = (
+            # Eager key-only detection: ≤ 2^n_planes rows — metadata-scale.
+            hot_rows = (
                 bucketed.groupBy('bucket').count()
                 .filter(F.col('count') > max_bucket)
-                .select('bucket')
+                .collect()
             )
-            bucketed = bucketed.join(F.broadcast(hot), 'bucket', 'left_anti')
+            hot_buckets = [r['bucket'] for r in hot_rows]
+            if audit is not None:
+                audit['hot_buckets'] = len(hot_buckets)
+                audit['hot_nodes'] = int(sum(r['count'] for r in hot_rows))
+            if hot_buckets:
+                bucketed = bucketed.filter(~F.col('bucket').isin(hot_buckets))
         a = bucketed.select(F.col('id'), F.col('v').alias('va'), 'bucket')
         b_src = bucketed
         if multi_probe:
@@ -388,6 +416,39 @@ def knn_graph(
         .filter(F.col('id') != F.col('nbr'))
         .select('id', 'nbr', F.round(cosine(F.col('va'), F.col('vb')), 6).alias('cos'))
     )
+    if method != 'ivf' and max_bucket and hot_buckets:
+        # Fallback routing for hot-bucket members: refine with independent
+        # extra planes, join within (bucket, sub).  Hot meets only hot of
+        # the same original bucket — disjoint from the primary join's
+        # pairs, so a plain unionByName is duplicate-free.
+        sub_planes = hyperplanes(n_sub_planes, dim, seed + 104_729)
+        hot_ref = df.select(
+            F.col(id_col).alias('id'),
+            F.col(vec_col).alias('v'),
+            lsh_bucket(F.col(vec_col), planes).alias('bucket'),
+        ).filter(F.col('bucket').isin(hot_buckets)).withColumn(
+            'sub', lsh_bucket(F.col('v'), sub_planes)
+        )
+        ha = hot_ref.select('id', F.col('v').alias('va'), 'bucket', 'sub')
+        hb_src = hot_ref
+        if multi_probe:
+            sub_probes = F.array(
+                F.col('sub'),
+                *[F.col('sub').bitwiseXOR(F.lit(2 ** i)) for i in range(n_sub_planes)],
+            )
+            hb_src = hot_ref.select(
+                'id', 'v', 'bucket', F.explode(sub_probes).alias('sub')
+            )
+        hb = hb_src.select(
+            F.col('id').alias('nbr'), F.col('v').alias('vb'), 'bucket', 'sub'
+        )
+        hot_cand = (
+            ha.join(hb, ['bucket', 'sub'])
+            .filter(F.col('id') != F.col('nbr'))
+            .select('id', 'nbr',
+                    F.round(cosine(F.col('va'), F.col('vb')), 6).alias('cos'))
+        )
+        cand = cand.unionByName(hot_cand)
     w = Window.partitionBy('id').orderBy(F.desc('cos'), F.asc('nbr'))
     return (
         cand.withColumn('rank', F.row_number().over(w))

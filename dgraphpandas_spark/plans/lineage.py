@@ -313,14 +313,29 @@ def _empty_append_frame(spark: SparkSession) -> DataFrame:
     )
 
 
+def _require_data_dir(output_dir: str, waves: list) -> str:
+    """Committed markers promise data: if waves are committed but the data
+    dir is gone, the store is corrupted (partial delete / wrong path) —
+    raise loudly instead of masking it as an empty read (ADVICE r4)."""
+    data_dir = os.path.join(output_dir, 'data')
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(
+            f'append store at {output_dir!r} has {len(waves)} committed '
+            f'wave marker(s) (e.g. wave {waves[0]}) but no data/ directory '
+            f'— the store is corrupted or partially deleted'
+        )
+    return data_dir
+
+
 def read_appended(spark: SparkSession, output_dir: str) -> DataFrame:
     """All COMMITTED waves (marker-gated — uncommitted files invisible).
-    A store with no committed waves (including one whose data dir does not
-    exist yet) reads as an empty frame with the triple schema."""
+    A store with no committed waves reads as an empty frame with the
+    triple schema; committed waves WITHOUT a data dir raise (corruption,
+    not emptiness)."""
     waves = appended_waves(output_dir)
-    if not waves or not os.path.isdir(os.path.join(output_dir, 'data')):
+    if not waves:
         return _empty_append_frame(spark)
-    return spark.read.parquet(os.path.join(output_dir, 'data')).filter(
+    return spark.read.parquet(_require_data_dir(output_dir, waves)).filter(
         F.col('wave').isin(waves)
     )
 
@@ -328,11 +343,15 @@ def read_appended(spark: SparkSession, output_dir: str) -> DataFrame:
 def read_append_snapshot(spark: SparkSession, output_dir: str, max_wave: int) -> DataFrame:
     """Time travel over the append log: committed waves ≤ ``max_wave``
     (wave = micro-batch id, so this is 'the table as of batch N');
-    partition-pruned on the wave column.  No committed waves in range (or
-    no data dir yet) reads as an empty frame with the triple schema."""
-    waves = [w for w in appended_waves(output_dir) if w <= max_wave]
-    if not waves or not os.path.isdir(os.path.join(output_dir, 'data')):
+    partition-pruned on the wave column.  No committed waves at all reads
+    as an empty frame with the triple schema; committed waves without a
+    data dir raise (corruption, not emptiness).  An empty in-range subset
+    of a healthy store is an empty frame."""
+    all_waves = appended_waves(output_dir)
+    if not all_waves:
         return _empty_append_frame(spark)
-    return spark.read.parquet(os.path.join(output_dir, 'data')).filter(
-        F.col('wave').isin(waves)
-    )
+    data_dir = _require_data_dir(output_dir, all_waves)
+    waves = [w for w in all_waves if w <= max_wave]
+    if not waves:
+        return _empty_append_frame(spark)
+    return spark.read.parquet(data_dir).filter(F.col('wave').isin(waves))

@@ -329,3 +329,33 @@ def test_append_mode_exactly_once_and_snapshots(spark, transcripts, tmp_path):
     assert empty.count() == 0
     assert empty.columns == ['subject', 'predicate', 'object', 'type', 'wave', 'conv_bucket']
     assert read_append_snapshot(spark, fresh, 99).count() == 0
+
+
+def test_append_store_with_markers_but_no_data_raises(spark, transcripts, tmp_path):
+    """ADVICE r4: committed wave markers promise data — a store whose data/
+    dir vanished (partial delete, wrong path) must raise, not silently read
+    as empty; only a store with NO committed waves reads empty."""
+    import shutil
+
+    import pytest as _pytest
+
+    from dgraphpandas_spark import horizontal_transform
+    from dgraphpandas_spark.plans.lineage import (
+        append_triples,
+        read_append_snapshot,
+        read_appended,
+    )
+
+    intrinsic, _ = horizontal_transform(transcripts, TRANSCRIPT_CONFIG, 'turn')
+    out = str(tmp_path / 'corrupt')
+    append_triples(intrinsic, out, n_buckets=2, wave=0)
+    shutil.rmtree(f'{out}/data')              # simulate partial deletion
+
+    with _pytest.raises(FileNotFoundError, match='committed'):
+        read_appended(spark, out)
+    with _pytest.raises(FileNotFoundError, match='committed'):
+        read_append_snapshot(spark, out, 0)
+    # even a snapshot BELOW the first committed wave raises: the store as a
+    # whole is corrupt, emptiness would mask it
+    with _pytest.raises(FileNotFoundError, match='committed'):
+        read_append_snapshot(spark, out, -1)
