@@ -293,6 +293,7 @@ def bpe_train(
     text_col: str = 'text',
     n_merges: int = 8,
     token_pattern: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding trainer: the iterated pair-merge loop over the
     word frequency table (Sennrich et al. 2016) — the missing piece
@@ -316,7 +317,8 @@ def bpe_train(
     pair counts, a 1-row ``TakeOrderedAndProject`` collect (argmax is the
     only driver traffic, one row per round), and one pure-projection
     ``replace`` to apply the merge.  The word table is
-    ``localCheckpoint``-ed per round (pagerank pattern) so round K does
+    checkpointed per round (pagerank pattern; ``checkpoint_dir`` selects
+    reliable vs local — operators/checkpointing.py) so round K does
     not replay rounds 1..K-1; at 100 TB the corpus scan still happens
     once and the loop cost is O(n_merges × |vocab|).
 
@@ -333,11 +335,13 @@ def bpe_train(
     )
     if token_pattern:
         tok = tok.filter(F.col('word').rlike(token_pattern))
-    words = (
+    from .checkpointing import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    words = ckpt(
         tok.groupBy('word')
         .agg(F.count('*').alias('cnt'))
         .select('cnt', _bpe_delim_expr(F.col('word')).alias('s'))
-        .localCheckpoint()
     )
 
     spark = df.sparkSession
@@ -366,14 +370,50 @@ def bpe_train(
         merges.append((rank, l, r, l + r, c))
         pat = F.lit(_BPE_SEP + l + _BPE_SEP + _BPE_SEP + r + _BPE_SEP)
         rep = F.lit(_BPE_SEP + l + r + _BPE_SEP)
-        words = words.select(
+        words = ckpt(words.select(
             'cnt', F.replace(F.col('s'), pat, rep).alias('s')
-        ).localCheckpoint()
+        ))
 
     return spark.createDataFrame(
         merges,
         'rank int, left string, right string, merged string, pair_count long',
     )
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list:
+    """Encode ONE word against a pair→rank table: repeatedly merge every
+    leftmost non-overlapping occurrence of the lowest-rank pair present.
+
+    For a WELL-FORMED merge table (one produced by a sequential BPE
+    trainer such as ``bpe_train``), this is exactly the rank-order replay
+    the chained-``replace`` path computes: a merge's output symbol can
+    only appear in HIGHER-rank pairs (it did not exist when lower ranks
+    were learned), and merging a pair only creates adjacencies involving
+    its output symbol — so once rank k is the minimum present, no later
+    merge can resurrect a pair of rank ≤ k, and min-rank-first order is
+    confluent with rank-sequential order."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        l, rgt = best_pair
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == rgt:
+                out.append(l + rgt)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 def bpe_apply(
@@ -382,6 +422,7 @@ def bpe_apply(
     text_col: str = 'text',
     id_col: str = 'doc_id',
     token_pattern: str | None = None,
+    method: str = 'replace',
 ) -> DataFrame:
     """Apply a trained BPE merge table to a corpus: each document's tokens
     are segmented into subword symbols by replaying the merges in rank
@@ -389,13 +430,23 @@ def bpe_apply(
     ``subwords`` in original order.
 
     Scale shape: the merge table is metadata-scale (``n_merges`` rows,
-    collected once on the driver); its replay compiles into ONE chained
-    ``replace`` column expression — a pure projection over the corpus,
-    zero shuffles except the final per-doc regroup, fully JVM-side.
-    The chained expression is the right compile target up to a few
-    thousand merges; for production 50k-merge vocabularies swap this
-    stage for an Arrow ``mapInPandas`` applying a broadcast merge trie
-    (same output contract), keeping the zero-shuffle shape."""
+    collected once on the driver).  Two encode backends, identical output
+    (pinned bit-for-bit by tests/test_bpe.py at 200 merges):
+
+    * ``method='replace'`` (default): the replay compiles into ONE
+      chained ``replace`` column expression — a pure projection over the
+      corpus, zero shuffles except the final per-doc regroup, fully
+      JVM-side.  The right compile target up to a few thousand merges
+      (the expression tree and codegen grow linearly with the table).
+    * ``method='trie'``: the production path for 50k-merge vocabularies
+      (round-4 verdict item #5) — the pair→rank table is broadcast once
+      per executor (``SparkContext.broadcast``, not per-task closure)
+      and applied in Arrow-batched ``mapInPandas`` with per-batch word
+      memoization (Zipf repetition makes the cache hit rate dominate).
+      Same zero-shuffle shape: tokenize/posexplode stay JVM-side, only
+      the per-WORD merge replay runs in Python, never per-row-of-corpus
+      scan logic.
+    """
     from ..functions.text import tokens
 
     ordered = [
@@ -408,14 +459,48 @@ def bpe_apply(
     ).filter((F.col('word') != '') & (~F.col('word').contains(_BPE_SEP)))
     if token_pattern:
         tok = tok.filter(F.col('word').rlike(token_pattern))
-    s = _bpe_delim_expr(F.col('word'))
-    for l, r in ordered:
-        s = F.replace(
-            s,
-            F.lit(_BPE_SEP + l + _BPE_SEP + _BPE_SEP + r + _BPE_SEP),
-            F.lit(_BPE_SEP + l + r + _BPE_SEP),
+    if method == 'trie':
+        from pyspark.sql.types import (
+            ArrayType, StringType, StructField, StructType,
         )
-    seg = tok.select('id', 'pos', _bpe_syms_expr(s).alias('syms'))
+
+        ranks = {pair: i for i, pair in enumerate(ordered)}
+        bc = df.sparkSession.sparkContext.broadcast(ranks)
+        out_schema = StructType([
+            tok.schema['id'],
+            tok.schema['pos'],
+            StructField('syms', ArrayType(StringType())),
+        ])
+
+        def encode(batches):
+            import pandas as pd
+
+            table = bc.value
+            memo: dict = {}
+            for pdf in batches:
+                col = []
+                for w in pdf['word']:
+                    s = memo.get(w)
+                    if s is None:
+                        s = _bpe_encode_word(w, table)
+                        memo[w] = s
+                    col.append(s)
+                yield pd.DataFrame(
+                    {'id': pdf['id'], 'pos': pdf['pos'], 'syms': col}
+                )
+
+        seg = tok.mapInPandas(encode, schema=out_schema)
+    elif method == 'replace':
+        s = _bpe_delim_expr(F.col('word'))
+        for l, r in ordered:
+            s = F.replace(
+                s,
+                F.lit(_BPE_SEP + l + _BPE_SEP + _BPE_SEP + r + _BPE_SEP),
+                F.lit(_BPE_SEP + l + r + _BPE_SEP),
+            )
+        seg = tok.select('id', 'pos', _bpe_syms_expr(s).alias('syms'))
+    else:
+        raise ValueError(f"method must be 'replace' or 'trie', got {method!r}")
     return seg.groupBy('id').agg(
         F.count('*').alias('n_words'),
         F.sum(F.size('syms')).alias('n_subwords'),

@@ -249,6 +249,7 @@ def connected_components(
     ids: DataFrame,
     edges: DataFrame,
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -257,19 +258,24 @@ def connected_components(
     DataFrame[id, cluster_id] where cluster_id = min node id in the
     component — converges in O(component diameter) rounds, each round one
     shuffle-join + one shuffle-agg over (edge, label) rows only (labels
-    are ids, never payloads).  ``localCheckpoint`` truncates the plan per
-    round (iterative self-joins otherwise grow the lineage exponentially);
-    on a real cluster checkpoint to reliable storage instead.  Hub-node
+    are ids, never payloads).  The per-round checkpoint truncates the plan
+    (iterative self-joins otherwise grow the lineage exponentially):
+    ``localCheckpoint`` by default, reliable ``checkpoint`` into
+    ``checkpoint_dir`` when given (the lost-executor-safe cluster story —
+    operators/checkpointing.py).  Hub-node
     skew in the join is handled by AQE skew-join (session default).
     Raises if not converged within ``max_iter`` — near-dup components have
     tiny diameters, so hitting the cap means pathological input.
     """
     from pyspark.sql import Observation
 
-    und = edges.select(F.col('id_a').alias('src'), F.col('id_b').alias('dst')).unionByName(
+    from .checkpointing import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(edges.select(F.col('id_a').alias('src'), F.col('id_b').alias('dst')).unionByName(
         edges.select(F.col('id_b').alias('src'), F.col('id_a').alias('dst'))
-    ).distinct().localCheckpoint()
-    labels = ids.select(F.col('id'), F.col('id').alias('label')).localCheckpoint()
+    ).distinct())
+    labels = ckpt(ids.select(F.col('id'), F.col('id').alias('label')))
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnsRenamed({'id': 'src', 'label': 'src_label'}), 'src')
@@ -295,7 +301,7 @@ def connected_components(
             )
             .observe(obs, F.sum(F.col('__chg').cast('long')).alias('n_changed'))
         )
-        new_labels = staged.select('id', 'label').localCheckpoint()
+        new_labels = ckpt(staged.select('id', 'label'))
         changed = obs.get['n_changed'] or 0
         labels = new_labels
         if changed == 0:

@@ -6,13 +6,17 @@ Reference parity note: the reference (kiran94/dgraphpandas) emits triples
 and stops; these operators consume the (subject, predicate, object) edge
 tables the engine extracts (see operators/canonicalize.py for the
 construction side).  Architecture mirrors ``dedup.connected_components``:
-fixed/driver-bounded iteration over DataFrames, ``localCheckpoint`` per
-round to truncate lineage, labels/ranks shuffled — never payloads.
+fixed/driver-bounded iteration over DataFrames, a checkpoint per round to
+truncate lineage (``localCheckpoint`` by default, reliable
+``checkpoint(dir)`` when ``checkpoint_dir`` is passed — see
+operators/checkpointing.py), labels/ranks shuffled — never payloads.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .checkpointing import make_checkpointer
 
 
 def pagerank(
@@ -22,6 +26,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     ndigits: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.  Returns
     DataFrame[id, pr].
@@ -35,23 +40,24 @@ def pagerank(
     Scale shape (the 100 TB story): per iteration ONE shuffle-join of
     (src, pr/outd) contributions against the edge list keyed on src and
     ONE shuffle-agg summing contributions by dst — both key+double rows,
-    never payloads.  The edge list is localCheckpoint-ed once (cluster:
-    reliable checkpoint) and AQE handles hub-node skew in the join (hubs
+    never payloads.  The edge list is checkpointed once (``checkpoint_dir``
+    selects reliable vs local — operators/checkpointing.py) and AQE
+    handles hub-node skew in the join (hubs
     are the web's power-law reality).  Dangling nodes (no out-edges)
     contribute no redistributed mass — the standard simplification; feed
     symmetrized edges if every node must have out-degree ≥ 1.  The single
     driver-side action is the node count (one long).
     """
+    ckpt = make_checkpointer(checkpoint_dir)
     e = edges.select(F.col(src).alias('src'), F.col(dst).alias('dst'))
-    nodes = (
+    nodes = ckpt(
         e.select(F.col('src').alias('id'))
         .unionByName(e.select(F.col('dst').alias('id')))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     outd = e.groupBy('src').agg(F.count('*').alias('outd'))
-    ed = e.join(outd, 'src').localCheckpoint()
+    ed = ckpt(e.join(outd, 'src'))
 
     # both engines compute 1.0/n and (1-d)/n in IEEE double identically;
     # the oracle interpolates repr(damping)/repr(1-damping) verbatim
@@ -88,8 +94,8 @@ def pagerank(
                     / scale
                 ).alias('pr'),
             )
-            .localCheckpoint(eager=False)
         )
+        pr = ckpt(pr, eager=False)
     return pr
 
 
@@ -102,6 +108,7 @@ def pagerank_weighted(
     iters: int = 3,
     damping: float = 0.85,
     ndigits: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted / personalized PageRank over a weighted edge list —
     the ranking pass a KG consumer runs over the co-occurrence
@@ -130,7 +137,8 @@ def pagerank_weighted(
     Scale shape: identical to ``pagerank`` — per iteration ONE
     shuffle-join of (src, pr·w/Σw) contributions keyed on src and ONE
     shuffle-agg by dst, key+double rows only; edge list and teleport
-    vector are ``localCheckpoint``-ed once; dangling mass is not
+    vector are checkpointed once (``checkpoint_dir`` selects reliable vs
+    local); dangling mass is not
     redistributed (standard simplification; symmetrized input — the
     projection is symmetrized — has none).  The only driver actions are
     the node count and the 1-row teleport total.
@@ -138,31 +146,30 @@ def pagerank_weighted(
     # checkpoint the edge list FIRST: nodes/wout/ed/teleport all derive
     # from it, and an upstream that is itself expensive (the bipartite
     # projection) would otherwise be recomputed once per consumer
-    e = edges.select(
+    ckpt = make_checkpointer(checkpoint_dir)
+    e = ckpt(edges.select(
         F.col(src).alias('src'), F.col(dst).alias('dst'), F.col(weight).alias('w')
-    ).localCheckpoint()
-    nodes = (
+    ))
+    nodes = ckpt(
         e.select(F.col('src').alias('id'))
         .unionByName(e.select(F.col('dst').alias('id')))
         .distinct()
-        .localCheckpoint()
     )
     wout = e.groupBy('src').agg(F.sum('w').alias('wout'))
-    ed = e.join(wout, 'src').localCheckpoint()
+    ed = ckpt(e.join(wout, 'src'))
 
     if teleport is None:
         n = nodes.count()
-        tvec = nodes.withColumn('t', F.lit(1.0) / F.lit(float(n))).localCheckpoint()
+        tvec = ckpt(nodes.withColumn('t', F.lit(1.0) / F.lit(float(n))))
     else:
         tid, tw = teleport.columns[0], teleport.columns[1]
         tp = teleport.select(F.col(tid).alias('id'), F.col(tw).alias('tw'))
         total = tp.agg(F.sum('tw')).first()[0]
         if not total:
             raise ValueError('teleport weights must sum to a positive value')
-        tvec = (
+        tvec = ckpt(
             nodes.join(tp, 'id', 'left')
             .select('id', (F.coalesce(F.col('tw'), F.lit(0)) / F.lit(total)).alias('t'))
-            .localCheckpoint()
         )
 
     base = F.lit(1.0 - damping)
@@ -211,8 +218,8 @@ def pagerank_weighted(
                     / scale
                 ).alias('pr'),
             )
-            .localCheckpoint(eager=False)
         )
+        pr = ckpt(pr, eager=False)
     return pr
 
 
@@ -222,6 +229,7 @@ def k_hop(
     k: int = 3,
     src: str = 'src',
     dst: str = 'dst',
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded-depth BFS: minimum hop distance (0..k) from the seed set
     for every reachable node.  Returns DataFrame[id, hop].
@@ -236,21 +244,21 @@ def k_hop(
     the edge list keyed on ``src`` (AQE broadcasts the frontier while it
     is small — the common case for entity neighborhoods) and ONE
     anti-join against the visited set — both shuffle node-id strings
-    only, never payloads.  Frontiers are ``localCheckpoint``-ed
-    (cluster: reliable checkpoint) so lineage stays O(1) per round; k is
+    only, never payloads.  Frontiers are checkpointed per round
+    (``checkpoint_dir`` selects reliable vs local) so lineage stays O(1); k is
     a driver constant, so there are no data-dependent driver actions at
     all — the whole expansion is one lazy plan per hop.
     """
+    ckpt = make_checkpointer(checkpoint_dir)
     e = edges.select(F.col(src).alias('src'), F.col(dst).alias('dst'))
-    frontier = seeds.select(F.col(seeds.columns[0]).alias('id')).distinct().localCheckpoint()
+    frontier = ckpt(seeds.select(F.col(seeds.columns[0]).alias('id')).distinct())
     visited = frontier.withColumn('hop', F.lit(0))
     for h in range(1, k + 1):
-        frontier = (
+        frontier = ckpt(
             e.join(frontier.withColumnRenamed('id', 'src'), 'src')
             .select(F.col('dst').alias('id'))
             .distinct()
             .join(visited.select('id'), 'id', 'left_anti')
-            .localCheckpoint()
         )
         visited = visited.unionByName(frontier.withColumn('hop', F.lit(h)))
     return visited

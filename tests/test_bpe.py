@@ -128,3 +128,85 @@ def test_bpe_train_matches_duckdb(spark, con, docs, n):
     con.executemany('INSERT INTO docs VALUES (?, ?)', rows)
     want = sorted(tuple(r) for r in con.execute(_mirror_sql(n)).fetchall())
     assert got == want
+
+
+def _py_bpe_train(word_freq: dict, n_merges: int) -> list:
+    """Independent pure-Python sequential BPE trainer (the differential
+    oracle for the trie path): per round count adjacent pairs weighted by
+    word frequency, take argmax under (count DESC, left ASC, right ASC),
+    merge greedy leftmost non-overlapping in every word."""
+    words = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in words.items():
+            i = 0
+            while i < len(syms) - 1:
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+                i += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), _n = best
+        merges.append((l, r))
+        new_words = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def test_bpe_apply_trie_matches_replace_at_200_merges(spark):
+    """Round-4 verdict item #5: the broadcast merge-trie mapInPandas encode
+    must be bit-identical to the chained-replace path at a production-ish
+    merge count (200), including n_words/n_subwords and subword order."""
+    import itertools
+
+    # deterministic Zipf-ish corpus: 60 distinct pseudo-words over a 6-char
+    # alphabet, repeated with decaying frequency across 40 docs
+    alpha = 'abcdefgh'
+    vocab = [''.join(p) for n in (3, 4, 5) for p in itertools.product(alpha, repeat=n)]
+    vocab = vocab[::11][:200]
+    docs = []
+    for d in range(40):
+        ws = [vocab[(d * 13 + j * j) % len(vocab)] for j in range(40)]
+        docs.append((d, ' '.join(ws)))
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+
+    freq: dict = {}
+    for _, text in docs:
+        for w in text.split():
+            freq[w] = freq.get(w, 0) + 1
+    merges = _py_bpe_train(freq, 200)
+    assert len(merges) == 200, f'corpus too small, only {len(merges)} merges'
+    mdf = spark.createDataFrame(
+        [(i + 1, l, r, l + r, 0) for i, (l, r) in enumerate(merges)],
+        'rank long, left string, right string, merged string, pair_count long',
+    )
+
+    a = {r['id']: (r['n_words'], r['n_subwords'], tuple(r['subwords']))
+         for r in bpe_apply(df, mdf, method='replace').collect()}
+    b = {r['id']: (r['n_words'], r['n_subwords'], tuple(r['subwords']))
+         for r in bpe_apply(df, mdf, method='trie').collect()}
+    assert a == b
+    assert len(a) == 40
+    # sanity: merges actually fired (subwords shorter than characters)
+    assert all(v[1] < sum(len(w) for w in docs[k][1].split()) for k, v in a.items())
+
+
+def test_bpe_apply_bad_method_raises(spark):
+    df = spark.createDataFrame([(1, 'aa bb')], 'doc_id long, text string')
+    mdf = spark.createDataFrame(
+        [(1, 'a', 'a', 'aa', 2)],
+        'rank long, left string, right string, merged string, pair_count long',
+    )
+    with pytest.raises(ValueError, match='trie'):
+        bpe_apply(df, mdf, method='nope')

@@ -121,3 +121,31 @@ def test_negative_sample_strict_detects_dangling_tails(spark):
     assert {r['subject'] for r in out.collect()} == {'s1'}
     with pytest.raises(ValueError, match='1 edge'):
         negative_sample(edges, nodes, k=2, seed=1, strict=True)
+
+
+def test_pagerank_reliable_checkpoint_dir_identical(spark, tmp_path):
+    """Round-4 verdict item #6: checkpoint_dir switches every per-round
+    lineage truncation to reliable DataFrame.checkpoint — output must be
+    identical to the localCheckpoint default, and checkpoint files must
+    actually land in the directory."""
+    import os
+
+    from dgraphpandas_spark.operators.graph import k_hop, pagerank
+
+    edges = spark.createDataFrame(
+        [('a', 'b'), ('b', 'c'), ('c', 'a'), ('c', 'd'), ('d', 'a')],
+        'src string, dst string',
+    )
+    local = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    ckdir = str(tmp_path / 'ck')
+    reliable = sorted(map(tuple, pagerank(edges, iters=3, checkpoint_dir=ckdir).collect()))
+    assert local == reliable
+    # reliable checkpoints really wrote into the directory
+    found = [f for root, _, fs in os.walk(ckdir) for f in fs]
+    assert found, 'no checkpoint files written to checkpoint_dir'
+
+    seeds = spark.createDataFrame([('a',)], 'id string')
+    kh_local = sorted(map(tuple, k_hop(edges, seeds, k=2).collect()))
+    kh_rel = sorted(map(tuple, k_hop(edges, seeds, k=2,
+                                     checkpoint_dir=str(tmp_path / 'ck2')).collect()))
+    assert kh_local == kh_rel
