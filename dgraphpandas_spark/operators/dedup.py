@@ -209,6 +209,7 @@ def jaccard_for_pairs(
     id_col: str = 'doc_id',
     text_col: str = 'text',
     n: int = 3,
+    shingle_storage: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a given candidate pair list (id_a, id_b).
 
@@ -216,14 +217,22 @@ def jaccard_for_pairs(
     all-pairs — this is the verify stage that makes LSH candidates safe to
     act on.
 
-    The shingle frame feeds THREE consumers (sizes, both join sides), so
-    it is persisted DISK_ONLY once past its distinct — same rationale as
-    ngram_jaccard_pairs: O(corpus tokens) wide, disk-backed not
-    memory-cached, and without it each consumer replays the corpus scan +
-    explode + the distinct shuffle."""
-    from pyspark import StorageLevel
+    The shingle frame feeds THREE consumers (sizes, both join sides).
+    ``shingle_storage`` (a StorageLevel name, e.g. ``'DISK_ONLY'``)
+    persists it once past its distinct so each consumer reads blocks
+    instead of replaying scan + explode + the distinct shuffle — the IO
+    accounting that wins at 100 TB (three O(corpus-token) shuffle writes
+    vs one + a spill write + three local reads).  The default is None
+    (recompute): the round-5 ABAB ledger in BENCH/BASELINE.md measured
+    the DISK_ONLY persist ~25-50% SLOWER at sf0.1 on this host — local
+    recompute of a columnar scan beats materialize-and-reread until the
+    scan itself is the bottleneck — so the persist is a scale knob, not
+    a default."""
+    sh = shingles(df, id_col, text_col, n)
+    if shingle_storage:
+        from pyspark import StorageLevel
 
-    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
+        sh = sh.persist(getattr(StorageLevel, shingle_storage))
     sizes = sh.groupBy('id').agg(F.count('*').alias('sz'))
     sa = sh.select(F.col('id').alias('id_a'), 'shingle')
     sb = sh.select(F.col('id').alias('id_b'), 'shingle')
@@ -318,6 +327,8 @@ def dedup_clusters(
     threshold: float = 0.8,
     max_bucket: int = 10_000,
     max_iter: int = 20,
+    shingle_storage: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The operator a training-data pipeline actually runs: MinHash-LSH
     candidates → exact-Jaccard verify → connected components → per-cluster
@@ -328,13 +339,17 @@ def dedup_clusters(
     Every stage is bucketed/equi-join (no all-pairs path): candidates from
     band buckets (hot-bucket capped), verification joins only candidate
     pairs, components propagate labels in O(diameter) bounded rounds.
+    ``shingle_storage``/``checkpoint_dir`` are the 100-TB knobs: persist
+    the verify stage's shingle frame (see ``jaccard_for_pairs``) and make
+    the label-propagation checkpoints lost-executor-safe
+    (operators/checkpointing.py).
     """
     cand = minhash_lsh_candidates(df, id_col, text_col, n, bands, max_bucket)
-    edges = jaccard_for_pairs(cand, df, id_col, text_col, n).filter(
-        F.col('jaccard') >= threshold
-    )
+    edges = jaccard_for_pairs(
+        cand, df, id_col, text_col, n, shingle_storage=shingle_storage
+    ).filter(F.col('jaccard') >= threshold)
     ids = df.select(F.col(id_col).alias('id')).distinct()
-    labels = connected_components(ids, edges, max_iter)
+    labels = connected_components(ids, edges, max_iter, checkpoint_dir=checkpoint_dir)
     return labels.select(
         'id', 'cluster_id', (F.col('id') == F.col('cluster_id')).alias('keep')
     )

@@ -217,9 +217,12 @@ def test_incremental_merge_default_path_never_sort_aggregates(spark):
 
 
 def test_knn_graph_plan_is_bucket_join_plus_one_window(spark):
-    """knn_graph (PLANS.md §5y): candidates come from an equi-join on the
-    LSH bucket — never a cartesian/nested-loop — the hot-bucket guard is a
-    broadcast anti-join, and the top-k is ONE Window (per-node rank)."""
+    """knn_graph (PLANS.md §5y, round-5 shape): candidates come from an
+    equi-join on the LSH bucket — never a cartesian/nested-loop — and the
+    top-k is ONE Window (per-node rank).  Hot-bucket handling is an EAGER
+    metadata-scale detection (collect of ≤2^n_planes counts): with no hot
+    bucket (this data) the plan must carry NO guard at all — no anti-join,
+    no extra union branch — the cap is free when it doesn't fire."""
     from dgraphpandas_spark.operators.simsearch import knn_graph
 
     df = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
@@ -232,7 +235,8 @@ def test_knn_graph_plan_is_bucket_join_plus_one_window(spark):
     # Final above): each task keeps only k rows per node BEFORE the window
     # shuffle — the map-side-combine shape for per-key top-k
     assert 'WindowGroupLimit' in plan and 'Partial' in plan
-    assert 'LeftAnti' in plan, 'hot-bucket guard is an anti-join'
+    assert 'LeftAnti' not in plan, 'no-hot plan must not pay a guard join'
+    assert 'Union' not in plan, 'fallback branch must not plan when no bucket is hot'
     assert 'bucket' in plan
 
 
