@@ -811,6 +811,28 @@ def q_corpus_bpe_encode(spark, sf_dir):
     )
 
 
+def q_corpus_bpe_encode_trie(spark, sf_dir):
+    """Same output contract as corpus_bpe_encode through the PRODUCTION
+    encode path (operators/curation.py:bpe_apply(method='trie')): the
+    pair→rank merge table is broadcast once per executor and applied in
+    Arrow mapInPandas with per-batch word memoization — the 50k-merge
+    backend the chained-replace projection can't compile to.  Min-rank
+    encode is confluent with rank-order replay for trainer-produced
+    tables (docstring proof + tests/test_bpe.py 200-merge differential),
+    so this query shares corpus_bpe_encode's oracle verbatim."""
+    from dgraphpandas_spark.operators.curation import bpe_apply, bpe_train
+
+    d = _t(spark, sf_dir, 'documents')
+    merges = bpe_train(d, n_merges=_BPE_MERGES, token_pattern=_BPE_PATTERN)
+    seg = bpe_apply(d, merges, token_pattern=_BPE_PATTERN, method='trie')
+    return seg.select(
+        F.col('id').alias('doc_id'),
+        'n_words',
+        'n_subwords',
+        F.md5(F.array_join('subwords', ' ').cast('binary')).alias('subwords_fp'),
+    )
+
+
 def q_corpus_sample_temperature(spark, sf_dir):
     """Temperature-based data mixing (operators/curation.py:mixing_rates,
     α=1/2 — the XLM-R/mT5 multilingual upsampling rule): keep rates
@@ -835,13 +857,30 @@ def q_emb_knn_graph(spark, sf_dir):
     """Approximate kNN graph over the embedding corpus
     (operators/simsearch.py:knn_graph) — every vector's top-5 cosine
     neighbors among its Hamming≤1 LSH bucket candidates: one equi-join on
-    bucket (hot buckets dropped first), one per-node window; ties broken
-    by ascending neighbor id so the graph is a total order."""
+    bucket, one per-node window; ties broken by ascending neighbor id so
+    the graph is a total order.  No bucket is hot at this cap/data, so the
+    plan carries no guard (round-5 shape, test_plan_evidence)."""
     from dgraphpandas_spark.operators.simsearch import knn_graph
 
     return knn_graph(
         _t(spark, sf_dir, 'embeddings'), k=5, n_planes=8, dim=64, seed=42,
         multi_probe=True,
+    )
+
+
+def q_emb_knn_graph_hot(spark, sf_dir):
+    """kNN graph with a LOW cap so the round-5 hot-bucket FALLBACK path
+    fires on this data (simsearch.py:knn_graph, r4 verdict item #4):
+    4 planes → ≤16 buckets over the corpus, max_bucket=40 makes the dense
+    ones hot; their members are re-bucketed by 4 independent sub-planes
+    (seed+104729) and joined within (bucket, sub) with Hamming-1 sub
+    probing, instead of being silently dropped.  The oracle mirrors both
+    branches (anti/semi split, sub refinement, probe union) exactly."""
+    from dgraphpandas_spark.operators.simsearch import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, 'embeddings'), k=5, n_planes=4, dim=64, seed=42,
+        multi_probe=True, max_bucket=40, n_sub_planes=4,
     )
 
 
@@ -1870,15 +1909,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_curation': q_corpus_curation,
         'corpus_split': q_corpus_split,
         'corpus_decontaminate': q_corpus_decontaminate,
+        'emb_knn_graph_hot': q_emb_knn_graph_hot,
+        'corpus_bpe_encode_trie': q_corpus_bpe_encode_trie,
     }
-    # Round-5 rotation (VERDICT r4 items #1/#7): the two r4-red queries go
-    # first (their HUGEINT oracle columns are now CAST to BIGINT — the
-    # driver must re-check them), then the 43 queries whose last driver
-    # check was round 3 (they rotated out when round 4 fronted the
-    # never-checked set), so no query goes two rounds unchecked.  The 48
-    # r4-green entries take the tail; with the ~50-entry cap the first few
-    # of those get a bonus re-check.
+    # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
+    # queries and the two r4-red queries go first (the red pair's HUGEINT
+    # oracle columns are now CAST to BIGINT — the driver must re-check
+    # them), then the 43 queries whose last driver check was round 3
+    # (they rotated out when round 4 fronted the never-checked set), so no
+    # query goes two rounds unchecked.  The 48 r4-green entries take the
+    # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
+        'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
         'corpus_pack', 'events_rolling',
         'kg_part_csv_edges', 'kg_lineitem', 'kg_nation_pre_rename',
         'kg_supplier_vertical', 'kg_upserts_customer',
@@ -2210,8 +2252,15 @@ def _ivf_cell_sql(vec: str) -> str:
 
 
 def _lsh_bucket_sql(vec: str) -> str:
+    return _lsh_bucket_sql_planes(vec, PLANES)
+
+
+def _lsh_bucket_sql_planes(vec: str, planes) -> str:
+    """Sign-LSH bucket over an explicit plane list (mirrors
+    functions.similarity.lsh_bucket for non-default plane sets — the
+    knn_graph hot-fallback's 4-plane buckets and sub-plane refinement)."""
     terms = []
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(planes):
         p = plane_sql_literal(plane)
         terms.append(f'(CASE WHEN {_dot_sql(vec, p)} > 0 THEN {2 ** i} ELSE 0 END)')
     return '(' + ' + '.join(terms) + ')'
@@ -2866,6 +2915,9 @@ SELECT doc_id, count(*)::bigint AS n_words, sum(len(syms))::bigint AS n_subwords
 FROM seg GROUP BY 1
 """
     )
+    # the trie encode path is proven bit-identical to the replace replay
+    # (tests/test_bpe.py 200-merge differential), so it shares the oracle
+    sql['corpus_bpe_encode_trie'] = sql['corpus_bpe_encode']
 
     # temperature mixing: allocation arithmetic is EXACT integer math
     # (floor(sqrt·1e6) micro-units; hugeint // division) mirroring
@@ -3380,6 +3432,42 @@ cand AS (SELECT a.vec_id AS id, p.vec_id AS nbr,
                 round({_cosine_sql('a.v', 'p.v')}, 6) AS cos
          FROM g a JOIN p ON a.bucket = p.bucket
          WHERE a.vec_id != p.vec_id),
+r AS (SELECT id, nbr, cos,
+             row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank
+      FROM cand)
+SELECT id, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+    # kNN graph, hot-fallback variant (round 5): 4-plane buckets with a
+    # low cap; hot-bucket members are NOT dropped — they join within
+    # (bucket, sub) where sub is a 4-plane refinement by independent
+    # hyperplanes (seed+104729), with the same asymmetric Hamming-1 probe
+    # expansion over the sub bits.  Cold and hot candidate sets are
+    # disjoint by construction (hot ids never enter the cold branch and
+    # hot meets only hot of the same original bucket), so UNION ALL — no
+    # dedup — mirrors knn_graph's unionByName exactly.
+    _hb = _lsh_bucket_sql_planes('list_transform(embedding, x -> x::double)',
+                                 hyperplanes(4, 64, 42))
+    _sb = _lsh_bucket_sql_planes('v', hyperplanes(4, 64, 42 + 104_729))
+    sql['emb_knn_graph_hot'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+                  {_hb} AS bucket
+           FROM embeddings),
+hot AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) > 40),
+cold AS (SELECT e.* FROM e ANTI JOIN hot USING (bucket)),
+cp AS (SELECT vec_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket FROM cold),
+ccand AS (SELECT a.vec_id AS id, cp.vec_id AS nbr,
+                 round({_cosine_sql('a.v', 'cp.v')}, 6) AS cos
+          FROM cold a JOIN cp ON a.bucket = cp.bucket
+          WHERE a.vec_id != cp.vec_id),
+h AS (SELECT e.vec_id, e.v, e.bucket, {_sb} AS sub
+      FROM e SEMI JOIN hot USING (bucket)),
+hp AS (SELECT vec_id, v, bucket, unnest([sub, xor(sub, 1), xor(sub, 2), xor(sub, 4), xor(sub, 8)]) AS sub FROM h),
+hcand AS (SELECT a.vec_id AS id, hp.vec_id AS nbr,
+                 round({_cosine_sql('a.v', 'hp.v')}, 6) AS cos
+          FROM h a JOIN hp ON a.bucket = hp.bucket AND a.sub = hp.sub
+          WHERE a.vec_id != hp.vec_id),
+cand AS (SELECT * FROM ccand UNION ALL SELECT * FROM hcand),
 r AS (SELECT id, nbr, cos,
              row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank
       FROM cand)
