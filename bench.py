@@ -280,6 +280,12 @@ def main():
     timed('dedup_spans',
           lambda: entry.q_dedup_spans(spark, sf_dir).agg(
               F.count('*'), F.bit_xor(F.xxhash64('id', 'n_dup_tokens'))).collect())
+    timed('emb_knn_graph_hot',
+          lambda: entry.q_emb_knn_graph_hot(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'nbr', 'rank'))).collect())
+    timed('corpus_bpe_encode_trie',
+          lambda: entry.q_corpus_bpe_encode_trie(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_subwords', 'subwords_fp'))).collect())
 
     total = round(time.time() - t0, 3)
     print(json.dumps({
