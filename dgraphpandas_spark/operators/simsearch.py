@@ -367,7 +367,10 @@ def knn_graph(
     the SemDeDup blocking): better recall on CLUSTERED real embeddings
     (cells follow the data, hyperplanes don't), one within-cell
     equi-join, no probe expansion; ``n_cells`` is the knob that must
-    grow with the corpus (per-cell work is O((n/n_cells)²)).
+    grow with the corpus (per-cell work is O((n/n_cells)²)).  The
+    hot-bucket cap/fallback and ``audit`` apply to the LSH path only —
+    on the IVF path an oversized cell is fixed by raising ``n_cells``
+    (the audit dict is left untouched).
     """
     from pyspark.sql import Window
 
