@@ -422,7 +422,7 @@ def bpe_apply(
     text_col: str = 'text',
     id_col: str = 'doc_id',
     token_pattern: str | None = None,
-    method: str = 'replace',
+    method: str = 'auto',
 ) -> DataFrame:
     """Apply a trained BPE merge table to a corpus: each document's tokens
     are segmented into subword symbols by replaying the merges in rank
@@ -431,7 +431,11 @@ def bpe_apply(
 
     Scale shape: the merge table is metadata-scale (``n_merges`` rows,
     collected once on the driver).  Two encode backends, identical output
-    (pinned bit-for-bit by tests/test_bpe.py at 200 merges):
+    (pinned bit-for-bit by tests/test_bpe.py at 200 merges);
+    ``method='auto'`` (default) picks ``replace`` up to 256 merges and
+    ``trie`` above — the measured JVM ceiling for the chained expression
+    is between 200 (works, 4.4 s) and 500 merges (Catalyst
+    StackOverflowError; BENCH/BASELINE.md round-5 BPE ledger):
 
     * ``method='replace'`` (default): the replay compiles into ONE
       chained ``replace`` column expression — a pure projection over the
@@ -459,6 +463,8 @@ def bpe_apply(
     ).filter((F.col('word') != '') & (~F.col('word').contains(_BPE_SEP)))
     if token_pattern:
         tok = tok.filter(F.col('word').rlike(token_pattern))
+    if method == 'auto':
+        method = 'replace' if len(ordered) <= 256 else 'trie'
     if method == 'trie':
         from pyspark.sql.types import (
             ArrayType, StringType, StructField, StructType,
@@ -500,7 +506,7 @@ def bpe_apply(
             )
         seg = tok.select('id', 'pos', _bpe_syms_expr(s).alias('syms'))
     else:
-        raise ValueError(f"method must be 'replace' or 'trie', got {method!r}")
+        raise ValueError(f"method must be 'auto', 'replace' or 'trie', got {method!r}")
     return seg.groupBy('id').agg(
         F.count('*').alias('n_words'),
         F.sum(F.size('syms')).alias('n_subwords'),
