@@ -360,7 +360,12 @@ def knn_graph(
     ``hot_buckets`` / ``hot_nodes`` counts (free — derived from the same
     detection aggregate).  Nodes in degenerate refinements (a
     bucket-of-one after sub-splitting, probes exhausted) can still end
-    with < k or zero neighbors — the cap is audited, never silent.
+    with < k or zero neighbors — the cap is audited, never silent.  A
+    refinement that is ITSELF still hot (e.g. 10⁶ exact-duplicate
+    vectors) pays its (m/2^n_sub_planes)² join inside the fallback —
+    that cost is inherent to ranking a duplicate blob's neighbors; the
+    join is a shuffle equi-join, so AQE's skew-join splits it across
+    tasks, and ``n_sub_planes`` is the knob that shrinks it.
 
     ``method='ivf'``: candidates come from the k-means-trained coarse
     quantizer cell instead (``train_ivf_centroids`` + ``ivf_assign`` —
