@@ -1798,6 +1798,30 @@ def q_kg_triple_history(spark, sf_dir):
     )
 
 
+def q_corpus_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 salient terms by integer rarity-weighted tf
+    (operators/curation.py:tfidf_topk): score_ppm = tf*1e6 DIV doc_freq —
+    exact integer math on both engines (no float ln), term-string
+    tiebreak gives a total order.  One (id,term) tf exchange, broadcast
+    doc_freq join-back, one row_number window per doc."""
+    from dgraphpandas_spark.operators.curation import tfidf_topk
+
+    d = _t(spark, sf_dir, 'documents')
+    return tfidf_topk(d, k=5)
+
+
+def q_corpus_shard(spark, sf_dir):
+    """Deterministic data-loader sharding (operators/curation.py:
+    shard_corpus): md5-derived shard in [0,8) + dense reproducible
+    within-shard shuffle position — epoch reshuffle = new salt.  Shard
+    label is a zero-shuffle projection; the dense position is one
+    exchange on shard + one row_number window."""
+    from dgraphpandas_spark.operators.curation import shard_corpus
+
+    d = _t(spark, sf_dir, 'documents')
+    return shard_corpus(d, n_shards=8, salt='ep1')
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction (intrinsic + edges) on sf0.001."""
     sf_dir = '/root/testdata/sf0.001'
@@ -1911,6 +1935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_decontaminate': q_corpus_decontaminate,
         'emb_knn_graph_hot': q_emb_knn_graph_hot,
         'corpus_bpe_encode_trie': q_corpus_bpe_encode_trie,
+        'corpus_tfidf_topk': q_corpus_tfidf_topk,
+        'corpus_shard': q_corpus_shard,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -1920,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query goes two rounds unchecked.  The 48 r4-green entries take the
     # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
+        'corpus_tfidf_topk', 'corpus_shard',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
         'corpus_pack', 'events_rolling',
         'kg_part_csv_edges', 'kg_lineitem', 'kg_nation_pre_rename',
@@ -2991,6 +3018,28 @@ c AS (SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
 SELECT token, n_docs, n_occurrences,
        row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id
 FROM c ORDER BY n_occurrences DESC, token LIMIT 200
+"""
+
+    sql['corpus_tfidf_topk'] = f"""
+WITH t AS (SELECT doc_id, u.tok AS term FROM documents, unnest({toks_v}) AS u(tok)
+           WHERE u.tok <> ''),
+tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+s AS (SELECT tf.id, tf.term, tf.tf, dfq.doc_freq,
+             CAST(tf.tf * 1000000 // dfq.doc_freq AS BIGINT) AS score_ppm,
+             row_number() OVER (PARTITION BY tf.id
+                 ORDER BY (tf.tf * 1000000 // dfq.doc_freq) DESC, tf.term) AS rank
+      FROM tf JOIN dfq USING (term))
+SELECT id, term, tf, doc_freq, score_ppm, CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= 5
+"""
+
+    sql['corpus_shard'] = """
+WITH h AS (SELECT doc_id AS id, md5(doc_id::varchar || '#ep1') AS hx FROM documents),
+s AS (SELECT id, ('0x' || substr(hx, 1, 8))::bigint % 8 AS shard, hx FROM h)
+SELECT id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, id) - 1 AS BIGINT) AS pos
+FROM s
 """
 
     _VOCAB_CTES = f"""

@@ -748,3 +748,98 @@ def chunk_documents(
     ).withColumn(
         'n_chunk_tokens', F.size(F.split(F.col('chunk_text'), ' '))
     ).select('id', 'chunk_idx', 'n_chunk_tokens', 'chunk_text')
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k salient terms by integer rarity-weighted term
+    frequency — the keyword-extraction step for corpus labeling, topic
+    bucketing, and mixture diagnostics (engine addition; no reference
+    counterpart — the reference stops at per-column melt).
+
+    Scoring: ``score_ppm = tf * 1_000_000 DIV doc_freq`` — exact integer
+    math, monotone in the classic tf·idf for any fixed tf (idf is a
+    decreasing function of doc_freq), but with no float ``ln`` whose last
+    ulp could differ between libms (the same portability reasoning as
+    pagerank's pico-unit quantization; see PLANS.md §6).  Ties break on
+    the term string, so the top-k set is a total order both engines
+    replay identically.
+
+    Returns DataFrame[id, term, tf, doc_freq, score_ppm, rank] with
+    ``rank`` 1..k per document.
+
+    Physical shape: tokenize+explode fused into the scan; one exchange
+    for the (id, term) tf aggregate (map-side combine shrinks the token
+    stream); doc_freq derives from the tf frame (vocabulary-sized) and
+    joins back broadcast; the final top-k is one row_number window per
+    document — the only other exchange is the regroup on id.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias('id'),
+        F.explode(tokens(F.col(text_col))).alias('term'),
+    ).filter(F.col('term') != '')
+    tf = tok.groupBy('id', 'term').agg(F.count('*').alias('tf'))
+    dfreq = tf.groupBy('term').agg(F.count('*').alias('doc_freq'))
+    scored = tf.join(F.broadcast(dfreq), 'term').withColumn(
+        'score_ppm', F.expr('CAST(tf * 1000000 DIV doc_freq AS BIGINT)')
+    )
+    w = Window.partitionBy('id').orderBy(F.desc('score_ppm'), F.asc('term'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w).cast('long'))
+        .filter(F.col('rank') <= k)
+        .select('id', 'term', 'tf', 'doc_freq', 'score_ppm', 'rank')
+    )
+
+
+def shard_corpus(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    n_shards: int = 8,
+    salt: str = '',
+) -> DataFrame:
+    """Deterministic training-shard assignment + reproducible within-shard
+    shuffle order — the data-loader handoff step after curation: each
+    document gets a shard in [0, n_shards) and a dense 0-based position
+    within its shard, both pure functions of (id, salt).  Stable under
+    re-runs, retries, repartitioning, and executor count — the global
+    shuffle ``DataFrame.orderBy(rand())`` cannot give (and epoch reshuffle
+    is just a new ``salt``).
+
+    The shard AND the shuffle order derive from one md5 per row (engine-
+    portable, same rationale as ``_id_bucket``): shard = first 8 hex
+    digits mod n_shards; order = the full digest (id tiebreak for the
+    theoretical collision).
+
+    Returns DataFrame[id, shard, pos].
+
+    Physical shape: the shard label is a zero-shuffle projection fused
+    into the scan; the dense position needs exactly one exchange on
+    shard + one row_number window — at 100 TB that is the minimum any
+    dense per-shard numbering can do, and n_shards × shard size is chosen
+    by the caller to fit the loader, not by this operator.
+    """
+    from pyspark.sql.window import Window
+
+    key = (
+        F.concat(F.col(id_col).cast('string'), F.lit('#' + salt))
+        if salt
+        else F.col(id_col).cast('string')
+    )
+    h = F.md5(key)
+    staged = df.select(
+        F.col(id_col).alias('id'),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast('long') % n_shards).alias('shard'),
+        h.alias('__h'),
+    )
+    w = Window.partitionBy('shard').orderBy('__h', 'id')
+    return staged.select(
+        'id', 'shard', (F.row_number().over(w).cast('long') - 1).alias('pos')
+    )

@@ -1012,3 +1012,56 @@ def test_merge_triples_upsert_semantics(spark):
     out = merge_triples(existing, dirty, assume_unique_keys=False).collect()
     winners = {r['object'] for r in out if r['subject'] == 't4'}
     assert winners == {'zz'}
+
+
+def test_tfidf_topk_integer_scores_and_ranks(spark):
+    from dgraphpandas_spark.operators.curation import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, 'rare common common'), (2, 'common common other')],
+        'doc_id bigint, text string',
+    )
+    out = {(r['id'], r['term']): r for r in tfidf_topk(df, k=5).collect()}
+    # doc_freq: common=2, rare=1, other=1
+    assert out[(1, 'rare')]['score_ppm'] == 1_000_000      # 1*1e6 // 1
+    assert out[(1, 'common')]['score_ppm'] == 1_000_000    # 2*1e6 // 2
+    assert out[(2, 'other')]['score_ppm'] == 1_000_000
+    assert out[(2, 'common')]['score_ppm'] == 1_000_000
+    # tie at equal score breaks on the term string (total order)
+    assert out[(1, 'common')]['rank'] == 1 and out[(1, 'rare')]['rank'] == 2
+    assert out[(2, 'common')]['rank'] == 1 and out[(2, 'other')]['rank'] == 2
+
+
+def test_tfidf_topk_caps_at_k(spark, docs):
+    from dgraphpandas_spark.operators.curation import tfidf_topk
+
+    out = tfidf_topk(docs.limit(50), k=3)
+    per_doc = out.groupBy('id').agg(
+        F.count('*').alias('n'), F.max('rank').alias('mx'), F.min('rank').alias('mn')
+    )
+    bad = per_doc.filter('n > 3 OR mx > 3 OR mn <> 1').count()
+    assert bad == 0
+
+
+def test_shard_corpus_deterministic_dense_positions(spark, docs):
+    from dgraphpandas_spark.operators.curation import shard_corpus
+
+    d = docs.select('doc_id')
+    a = shard_corpus(d, n_shards=4, salt='ep1')
+    total = d.count()
+    assert a.count() == total
+    assert a.filter('shard < 0 OR shard >= 4').count() == 0
+    # positions dense 0..n_s-1 within every shard
+    per = a.groupBy('shard').agg(
+        F.count('*').alias('n'), F.min('pos').alias('mn'), F.max('pos').alias('mx')
+    )
+    assert per.filter('mn <> 0 OR mx <> n - 1').count() == 0
+    # pure function of (id, salt): identical on re-run, any partitioning
+    b = shard_corpus(d.repartition(7), n_shards=4, salt='ep1')
+    assert a.exceptAll(b).count() == 0
+    # ... and a new salt is a genuinely different epoch order
+    c = shard_corpus(d, n_shards=4, salt='ep2').select(
+        'id', F.col('shard').alias('shard2'), F.col('pos').alias('pos2')
+    )
+    moved = a.join(c, 'id').filter('shard <> shard2 OR pos <> pos2').count()
+    assert moved > 0
