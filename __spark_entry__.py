@@ -1822,6 +1822,39 @@ def q_corpus_shard(spark, sf_dir):
     return shard_corpus(d, n_shards=8, salt='ep1')
 
 
+def q_corpus_collocations(spark, sf_dir):
+    """Bigram collocations by integer-exact lift (operators/curation.py:
+    collocations): lift_ppm = pair_count*n_tokens*1e6 DIV (c1*c2) —
+    exp(PMI) in ppm, no float ln.  Bigrams are a pure array transform
+    (no posexplode self-join); unigram frame broadcast back; top-n is a
+    TakeOrdered with total order (lift desc, pair_count desc, w1, w2)."""
+    from dgraphpandas_spark.operators.curation import collocations
+
+    d = _t(spark, sf_dir, 'documents')
+    return collocations(d, min_count=2, top_n=100)
+
+
+def q_emb_knn_classify(spark, sf_dir):
+    """kNN label propagation (operators/simsearch.py:knn_classify):
+    every 25th vector is the 'unlabeled' query set, classified by
+    majority vote of its 5 most-cosine-similar labeled neighbors.
+    Queries broadcast against the reference side (the 100-TB side never
+    moves); vote fully deterministic (cos desc/rid asc, votes desc/label
+    asc).  Output includes the held-out true label and a correctness
+    flag — the weak-supervision accuracy audit."""
+    from dgraphpandas_spark.operators.simsearch import knn_classify
+
+    e = _t(spark, sf_dir, 'embeddings')
+    q = e.filter('vec_id % 25 = 0')
+    r = e.filter('vec_id % 25 <> 0')
+    pred = knn_classify(q, r, k=5)
+    truth = q.select(F.col('vec_id').alias('id'), F.col('label').alias('true_label'))
+    return pred.join(F.broadcast(truth), 'id').select(
+        'id', 'pred_label', 'votes', 'true_label',
+        (F.col('pred_label') == F.col('true_label')).alias('correct'),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction (intrinsic + edges) on sf0.001."""
     sf_dir = '/root/testdata/sf0.001'
@@ -1937,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_bpe_encode_trie': q_corpus_bpe_encode_trie,
         'corpus_tfidf_topk': q_corpus_tfidf_topk,
         'corpus_shard': q_corpus_shard,
+        'corpus_collocations': q_corpus_collocations,
+        'emb_knn_classify': q_emb_knn_classify,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -1947,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
         'corpus_tfidf_topk', 'corpus_shard',
+        'corpus_collocations', 'emb_knn_classify',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
         'corpus_pack', 'events_rolling',
         'kg_part_csv_edges', 'kg_lineitem', 'kg_nation_pre_rename',
@@ -3040,6 +3076,44 @@ s AS (SELECT id, ('0x' || substr(hx, 1, 8))::bigint % 8 AS shard, hx FROM h)
 SELECT id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, id) - 1 AS BIGINT) AS pos
 FROM s
+"""
+
+    sql['corpus_collocations'] = f"""
+WITH t AS (SELECT {toks_v} AS l FROM documents),
+bg0 AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM t WHERE len(l) >= 2),
+bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM bg0 WHERE z[1] <> '' AND z[2] <> ''),
+pair AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2
+         HAVING count(*) >= 2),
+uni AS (SELECT u.tok AS w, count(*) AS c FROM t, unnest(l) AS u(tok)
+        WHERE u.tok <> '' GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni)
+SELECT p.w1, p.w2, p.pair_count,
+       a.c AS count_w1, b.c AS count_w2,
+       CAST(p.pair_count * tot.n_tokens * 1000000 // (a.c * b.c) AS BIGINT) AS lift_ppm
+FROM pair p
+JOIN uni a ON p.w1 = a.w
+JOIN uni b ON p.w2 = b.w
+CROSS JOIN tot
+ORDER BY lift_ppm DESC, pair_count DESC, w1, w2
+LIMIT 100
+"""
+
+    sql['emb_knn_classify'] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e WHERE vec_id % 25 = 0),
+r AS (SELECT vec_id AS rid, v AS rv, label FROM e WHERE vec_id % 25 <> 0),
+s AS (SELECT q.qid, q.true_label, r.rid, r.label,
+             round({_cosine_sql('r.rv', 'q.qv')}, 6) AS cos
+      FROM r, q),
+tk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, rid) AS rnk FROM s),
+votes AS (SELECT qid, true_label, label, count(*) AS votes
+          FROM tk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+win AS (SELECT qid, label, votes, true_label,
+               row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+        FROM votes)
+SELECT qid AS id, label AS pred_label, CAST(votes AS BIGINT) AS votes,
+       true_label, (label = true_label) AS correct
+FROM win WHERE vr = 1
 """
 
     _VOCAB_CTES = f"""

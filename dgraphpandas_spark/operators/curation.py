@@ -843,3 +843,75 @@ def shard_corpus(
     return staged.select(
         'id', 'shard', (F.row_number().over(w).cast('long') - 1).alias('pos')
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = 'text',
+    min_count: int = 2,
+    top_n: int = 200,
+) -> DataFrame:
+    """Corpus-wide bigram collocations ranked by integer-exact lift —
+    phrase mining for vocabulary/tokenizer construction and n-gram
+    contamination screens (engine addition; no reference counterpart).
+
+    Score: ``lift_ppm = pair_count * n_tokens * 1_000_000 DIV
+    (count_w1 * count_w2)`` — exp(PMI) scaled to parts-per-million,
+    monotone in PMI, all-integer so DuckDB and Spark floor identically
+    (same portability reasoning as ``tfidf_topk``).  Total order:
+    (lift desc, pair_count desc, w1, w2).  Integer headroom: the product
+    needs ``pair_count * n_tokens <= 9.2e12`` — beyond that (trillion-
+    token corpora) swap the expression for DOUBLE ``ln`` PMI; ordering
+    stays deterministic per-engine, just not bit-replayable cross-engine.
+
+    Returns DataFrame[w1, w2, pair_count, count_w1, count_w2, lift_ppm],
+    at most ``top_n`` rows.
+
+    Physical shape: bigrams are a pure projection (``transform`` over the
+    token array — no posexplode self-join); ONE exchange each for the
+    bigram and unigram HashAggregates (both map-side combined, so the
+    shuffle carries distinct grams × partial counts, not tokens); the
+    unigram frame is vocabulary-sized and joins back **broadcast** twice;
+    the corpus total is a broadcast 1-row crossJoin; the final top-n is a
+    TakeOrdered (driver receives top_n rows only).  min_count prunes the
+    pair frame BEFORE the joins.
+    """
+    from ..functions.text import tokens
+
+    t = df.select(tokens(F.col(text_col)).alias('t'))
+    bg = (
+        t.filter(F.size('t') >= 2)
+        .select(F.explode(F.expr(
+            'transform(sequence(0, size(t) - 2),'
+            ' i -> struct(t[i] AS w1, t[i + 1] AS w2))'
+        )).alias('bg'))
+        .select('bg.w1', 'bg.w2')
+        .filter((F.col('w1') != '') & (F.col('w2') != ''))
+    )
+    pair = (
+        bg.groupBy('w1', 'w2')
+        .agg(F.count('*').alias('pair_count'))
+        .filter(F.col('pair_count') >= min_count)
+    )
+    uni = (
+        t.select(F.explode('t').alias('w'))
+        .filter(F.col('w') != '')
+        .groupBy('w')
+        .agg(F.count('*').alias('c'))
+    )
+    total = uni.agg(F.sum('c').alias('n_tokens'))
+    scored = (
+        pair.join(F.broadcast(uni.select(F.col('w').alias('w1'),
+                                         F.col('c').alias('count_w1'))), 'w1')
+        .join(F.broadcast(uni.select(F.col('w').alias('w2'),
+                                     F.col('c').alias('count_w2'))), 'w2')
+        .crossJoin(F.broadcast(total))
+        .withColumn('lift_ppm', F.expr(
+            'CAST(pair_count * n_tokens * 1000000'
+            ' DIV (count_w1 * count_w2) AS BIGINT)'))
+    )
+    return (
+        scored.select('w1', 'w2', 'pair_count', 'count_w1', 'count_w2', 'lift_ppm')
+        .orderBy(F.desc('lift_ppm'), F.desc('pair_count'), 'w1', 'w2')
+        .limit(top_n)
+    )

@@ -463,3 +463,79 @@ def knn_graph(
         .filter(F.col('rank') <= k)
         .select('id', 'nbr', 'cos', 'rank')
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 5,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    label_col: str = 'label',
+    method: str = 'brute',
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """k-nearest-neighbor label propagation over embeddings — the
+    weak-supervision step of a training-data pipeline (classify unlabeled
+    documents by majority vote of their k most-cosine-similar LABELED
+    neighbors; SemDeDup-adjacent, no model in the loop).
+
+    Voting is fully deterministic: neighbors rank by (cos desc, ref id
+    asc), the winning label by (votes desc, label asc) — a total order
+    both engines replay.  Returns DataFrame[id, pred_label, votes] with
+    one row per query that found >= 1 candidate (on the ``lsh`` path a
+    query in an empty probe set yields no row — same audited-cap
+    semantics as ``knn_graph``).
+
+    ``method='brute'``: exact — the query set is BROADCAST against the
+    reference corpus (the asymmetry matters: refs are the 100-TB side and
+    never move; each executor scores its ref partitions against the
+    in-memory query block).  Scale bound: queries must fit in a broadcast
+    (~10 MB/1k queries at dim 64); beyond that, switch to ``lsh``.
+
+    ``method='lsh'``: sign-LSH blocked — both sides bucket, the QUERY
+    side (small) explodes to its Hamming-distance<=1 probe buckets with
+    ``multi_probe``, one equi-join on bucket.  Same geometry/knobs as
+    ``knn_graph``; recall measured the same way.
+
+    Either way the vote is ONE exchange: candidates regroup per query for
+    the row_number window, then a (query, label) HashAggregate and a
+    second tiny window pick the winner.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias('qid'), F.col(vec_col).alias('qv'))
+    r = refs.select(
+        F.col(id_col).alias('rid'),
+        F.col(vec_col).alias('rv'),
+        F.col(label_col).alias('label'),
+    )
+    if method == 'lsh':
+        planes = hyperplanes(n_planes, dim, seed)
+        r = r.withColumn('bucket', lsh_bucket(F.col('rv'), planes))
+        qb = q.withColumn('bucket', lsh_bucket(F.col('qv'), planes))
+        if multi_probe:
+            probes = F.array(
+                F.col('bucket'),
+                *[F.col('bucket').bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+            )
+            qb = qb.select('qid', 'qv', F.explode(probes).alias('bucket'))
+        cand = r.join(F.broadcast(qb), 'bucket')
+    else:
+        cand = r.crossJoin(F.broadcast(q))
+    scored = cand.select(
+        'qid', 'rid', 'label',
+        F.round(cosine(F.col('rv'), F.col('qv')), 6).alias('cos'),
+    )
+    wk = Window.partitionBy('qid').orderBy(F.desc('cos'), F.asc('rid'))
+    topk = scored.withColumn('rank', F.row_number().over(wk)).filter(F.col('rank') <= k)
+    votes = topk.groupBy('qid', 'label').agg(F.count('*').alias('votes'))
+    wv = Window.partitionBy('qid').orderBy(F.desc('votes'), F.asc('label'))
+    return (
+        votes.withColumn('vr', F.row_number().over(wv))
+        .filter(F.col('vr') == 1)
+        .select(F.col('qid').alias('id'), F.col('label').alias('pred_label'), 'votes')
+    )

@@ -1065,3 +1065,93 @@ def test_shard_corpus_deterministic_dense_positions(spark, docs):
     )
     moved = a.join(c, 'id').filter('shard <> shard2 OR pos <> pos2').count()
     assert moved > 0
+
+
+def test_collocations_integer_lift_and_tiebreak(spark):
+    from dgraphpandas_spark.operators.curation import collocations
+
+    df = spark.createDataFrame(
+        [(1, 'new york new york'), (2, 'new york city')],
+        'doc_id bigint, text string',
+    )
+    out = collocations(df, min_count=1, top_n=10).collect()
+    rows = {(r['w1'], r['w2']): r for r in out}
+    # uni: new=3 york=3 city=1, n_tokens=7
+    assert rows[('new', 'york')]['pair_count'] == 3
+    assert rows[('new', 'york')]['lift_ppm'] == 3 * 7 * 1_000_000 // 9
+    assert rows[('york', 'new')]['lift_ppm'] == 1 * 7 * 1_000_000 // 9
+    assert rows[('york', 'city')]['lift_ppm'] == 1 * 7 * 1_000_000 // 3
+    # equal lift (new,york)=2333333=(york,city): pair_count desc breaks it
+    assert [(r['w1'], r['w2']) for r in out[:2]] == [('new', 'york'), ('york', 'city')]
+
+
+def test_collocations_min_count_prunes_and_caps(spark, docs):
+    from dgraphpandas_spark.operators.curation import collocations
+
+    out = collocations(docs, min_count=3, top_n=25)
+    rows = out.collect()
+    assert len(rows) <= 25
+    assert all(r['pair_count'] >= 3 for r in rows)
+    # top_n is a total order: re-run yields the identical list
+    again = collocations(docs, min_count=3, top_n=25).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from dgraphpandas_spark.operators.simsearch import knn_classify
+
+    refs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 7),
+         (2, [0.9, 0.1, 0.0, 0.0], 7),
+         (3, [0.8, 0.2, 0.0, 0.0], 9),
+         (4, [0.0, 0.0, 1.0, 0.0], 3),
+         (5, [0.0, 0.0, 0.9, 0.1], 3)],
+        'vec_id bigint, embedding array<double>, label int',
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])], 'vec_id bigint, embedding array<double>')
+    out = knn_classify(queries, refs, k=3).collect()
+    assert len(out) == 1 and out[0]['pred_label'] == 7 and out[0]['votes'] == 2
+    # k=2 -> one vote each for 7 and 9?  nearest two are ids 1,2 (both 7).
+    out2 = knn_classify(queries, refs, k=2).collect()
+    assert out2[0]['pred_label'] == 7 and out2[0]['votes'] == 2
+    # force a genuine tie: k=4 -> labels {7,7,9,3}? id 4/5 are orthogonal;
+    # 4th neighbor is id 4 (cos 0) or 5 -> votes 7:2, 9:1, 3:1 -> still 7.
+    out4 = knn_classify(queries, refs, k=4).collect()
+    assert out4[0]['pred_label'] == 7
+
+
+def test_knn_classify_lsh_matches_brute_on_tight_clusters(spark):
+    """LSH path on genuinely CLUSTERED vectors (the regime the docstring
+    claims): 3 tight clusters in 8-dim, one labeled cluster per label.
+    Same-cluster vectors land in the same sign-LSH bucket (tiny angular
+    spread), so blocked candidates contain the true neighbors and the
+    vote must match brute exactly."""
+    from dgraphpandas_spark.operators.simsearch import knn_classify
+
+    centers = [[1, 0, 0, 0, 0, 0, 0, 0],
+               [0, 0, 1, 0, 0, 0.2, 0, 0],
+               [0, 0, 0, 0, 0, 0, 1, 0.3]]
+    rows, qrows = [], []
+    for c, center in enumerate(centers):
+        for i in range(8):
+            # deterministic tiny perturbation on one off-axis dim
+            v = [x + (0.01 * ((i * 7 + d) % 5)) for d, x in enumerate(center)]
+            rows.append((c * 100 + i, v, c))
+        qrows.append((1000 + c, [x + 0.005 for x in center]))
+    refs = spark.createDataFrame(
+        rows, 'vec_id bigint, embedding array<double>, label int')
+    queries = spark.createDataFrame(
+        qrows, 'vec_id bigint, embedding array<double>')
+    brute = knn_classify(queries, refs, k=5)
+    lsh = knn_classify(queries, refs, k=5, method='lsh',
+                       n_planes=6, dim=8, multi_probe=True)
+    assert brute.count() == 3 and lsh.columns == brute.columns
+    got_b = {r['id']: r['pred_label'] for r in brute.collect()}
+    got_l = {r['id']: r['pred_label'] for r in lsh.collect()}
+    assert got_b == {1000: 0, 1001: 1, 1002: 2}
+    assert got_l == got_b
+    # deterministic on re-run
+    l2 = knn_classify(queries, refs, k=5, method='lsh',
+                      n_planes=6, dim=8, multi_probe=True)
+    assert lsh.exceptAll(l2).count() == 0
