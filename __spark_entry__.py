@@ -1855,6 +1855,31 @@ def q_emb_knn_classify(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Ingestion-batch admission control (operators/dedup.py:
+    incremental_dedup): a synthetic batch (exact copies of every 5th doc
+    + tail-extended copies of every doc ≡3 mod 7) is checked against the
+    corpus LSH index — candidates from one bucket equi-join, exact
+    Jaccard verify only on the candidate list, one verdict row per new
+    doc.  Cost is O(batch), independent of corpus size — the steady-state
+    100-TB ingestion shape (corpus buckets precomputable/materializable
+    via minhash_buckets)."""
+    from dgraphpandas_spark.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, 'documents').select('doc_id', 'text')
+    new = (
+        d.filter('doc_id % 5 = 0')
+        .select((F.col('doc_id') + 1_000_000).alias('doc_id'), 'text')
+        .unionByName(
+            d.filter('doc_id % 7 = 3').select(
+                (F.col('doc_id') + 2_000_000).alias('doc_id'),
+                F.concat(F.col('text'), F.lit(' qq ww ee rr tt yy uu ii')).alias('text'),
+            )
+        )
+    )
+    return incremental_dedup(new, d, n=3, bands=4, threshold=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction (intrinsic + edges) on sf0.001."""
     sf_dir = '/root/testdata/sf0.001'
@@ -1972,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_shard': q_corpus_shard,
         'corpus_collocations': q_corpus_collocations,
         'emb_knn_classify': q_emb_knn_classify,
+        'dedup_incremental': q_dedup_incremental,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -1982,7 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
         'corpus_tfidf_topk', 'corpus_shard',
-        'corpus_collocations', 'emb_knn_classify',
+        'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
         'corpus_pack', 'events_rolling',
         'kg_part_csv_edges', 'kg_lineitem', 'kg_nation_pre_rename',
@@ -3096,6 +3122,52 @@ JOIN uni b ON p.w2 = b.w
 CROSS JOIN tot
 ORDER BY lift_ppm DESC, pair_count DESC, w1, w2
 LIMIT 100
+"""
+
+    _inc_toks = _TOKS.format(col='text')
+    _inc_sigs = ', '.join(
+        f"min(('0x' || substr(md5(s || '#{j}'), 1, 15))::bigint) AS sig_{j}"
+        for j in range(4)
+    )
+    _inc_buckets = ' UNION ALL '.join(
+        f"SELECT id, '{j}|' || sig_{j} AS bucket FROM sigs" for j in range(4)
+    )
+    sql['dedup_incremental'] = f"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+newb AS (SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS id, text || ' qq ww ee rr tt yy uu ii'
+         FROM documents WHERE doc_id % 7 = 3),
+docs AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+toks AS (SELECT id, {_inc_toks} AS t FROM docs),
+sh AS (SELECT DISTINCT id, s FROM toks,
+       unnest(CASE WHEN len(t) < 3 THEN []
+              ELSE list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS u(s)),
+sigs AS (SELECT id, {_inc_sigs} FROM sh GROUP BY id),
+buckets AS ({_inc_buckets}),
+cb AS (SELECT * FROM buckets WHERE id < 1000000),
+nb AS (SELECT * FROM buckets WHERE id >= 1000000),
+bsz AS (SELECT bucket, count(*) AS c FROM cb GROUP BY 1),
+okb AS (SELECT bucket FROM bsz WHERE c <= 10000),
+cand AS (SELECT DISTINCT n.id AS id_a, c.id AS id_b
+         FROM nb n JOIN cb c USING (bucket) JOIN okb USING (bucket)),
+szs AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT cand.id_a, cand.id_b, count(*) AS i
+          FROM cand JOIN sh a ON a.id = cand.id_a
+                    JOIN sh b ON b.id = cand.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN szs sa ON sa.id = inter.id_a
+                   JOIN szs sb ON sb.id = inter.id_b),
+best AS (SELECT id_a AS id, id_b AS dup_of, jaccard,
+                row_number() OVER (PARTITION BY id_a
+                                   ORDER BY jaccard DESC, id_b) AS rn
+         FROM jac WHERE jaccard >= 0.5)
+SELECT u.id, b.dup_of, b.jaccard, (b.dup_of IS NULL) AS keep
+FROM (SELECT id FROM newb) u
+LEFT JOIN (SELECT id, dup_of, jaccard FROM best WHERE rn = 1) b USING (id)
 """
 
     sql['emb_knn_classify'] = f"""

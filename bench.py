@@ -286,6 +286,18 @@ def main():
     timed('corpus_bpe_encode_trie',
           lambda: entry.q_corpus_bpe_encode_trie(spark, sf_dir).agg(
               F.count('*'), F.bit_xor(F.xxhash64('doc_id', 'n_subwords', 'subwords_fp'))).collect())
+    timed('corpus_tfidf_topk',
+          lambda: entry.q_corpus_tfidf_topk(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'term', 'rank'))).collect())
+    timed('corpus_shard',
+          lambda: entry.q_corpus_shard(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'shard', 'pos'))).collect())
+    timed('corpus_collocations',
+          lambda: entry.q_corpus_collocations(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('w1', 'w2', 'lift_ppm'))).collect())
+    timed('emb_knn_classify',
+          lambda: entry.q_emb_knn_classify(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('id', 'pred_label', 'votes'))).collect())
 
     total = round(time.time() - t0, 3)
     print(json.dumps({

@@ -674,3 +674,105 @@ def dup_spans(
             .alias('dup_frac'),
         )
     )
+
+
+def minhash_buckets(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, bucket) LSH index rows for a corpus — the MATERIALIZABLE half
+    of incremental dedup.  At 100 TB this frame is computed once per
+    corpus wave and written partitioned (or bucketed) by ``bucket``;
+    every subsequent ingestion batch joins against the stored index with
+    a partition-pruned scan instead of re-signing the corpus.  One
+    signature HashAggregate + a narrow posexplode — identical arithmetic
+    to ``minhash_lsh_candidates``' bucket stage (same bucket keys, so an
+    index built here is valid for within-corpus candidates too)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, bands)
+    return sigs.select(
+        'id',
+        F.posexplode(F.array(*[F.col(f'sig_{j}') for j in range(bands)])).alias('band', 'sig'),
+    ).select(
+        'id',
+        F.concat(F.col('band').cast('string'), F.lit('|'), F.col('sig')).alias('bucket'),
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame = None,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+    corpus_buckets: DataFrame = None,
+) -> DataFrame:
+    """Admission-control dedup for an ingestion BATCH against an existing
+    corpus — the shape that matters at 100 TB: the corpus is never
+    re-paired with itself (that work happened when it was ingested); each
+    new document is checked against the corpus LSH index and verified
+    with exact n-gram Jaccard only for its own candidates, so the cost is
+    O(batch) + |candidates|, independent of corpus size.
+
+    Returns one row per NEW document:
+    DataFrame[id, dup_of, jaccard, keep] — ``dup_of`` the best-matching
+    corpus document (max Jaccard, min corpus id on ties; NULL if no match
+    >= ``threshold``), ``keep`` = no qualifying match.  Batch-internal
+    duplicates are OUT of scope by design (two new copies of a novel text
+    both pass) — run the batch through ``minhash_lsh_candidates`` first
+    if batch-internal dedup is needed.
+
+    ``corpus_buckets``: pass a precomputed ``minhash_buckets`` frame
+    (e.g. read back from a bucket-partitioned table) to skip re-signing
+    the corpus — the steady-state path; ``corpus_df`` is then only needed
+    for the Jaccard verify shingles.  The hot-bucket guard caps CORPUS
+    bucket membership (a stopword-degenerate bucket pairs every new doc
+    with ``k`` corpus docs); like ``knn_graph`` the cap is a recall
+    guard, mirrored by the oracle, and at ``max_bucket=10_000`` only
+    degenerate buckets hit it.
+
+    Plan shape: one equi-join on bucket (batch side small → broadcast-
+    eligible under AQE), DISTINCT pair projection, the bounded
+    ``jaccard_for_pairs`` verify (pair-list-sized, never all-pairs), one
+    row_number window per new doc, and a final left join back to the
+    batch universe so every new id gets a verdict row.
+    """
+    from pyspark.sql.window import Window
+
+    if corpus_df is None:
+        raise ValueError('corpus_df is required (Jaccard verify reads its text)')
+    if corpus_buckets is None:
+        corpus_buckets = minhash_buckets(corpus_df, id_col, text_col, n, bands)
+    new_buckets = minhash_buckets(new_df, id_col, text_col, n, bands)
+    ok = (
+        corpus_buckets.groupBy('bucket')
+        .agg(F.count('*').alias('k'))
+        .filter(F.col('k') <= max_bucket)
+        .select('bucket')
+    )
+    pairs = (
+        new_buckets.join(corpus_buckets.join(ok, 'bucket')
+                         .select('bucket', F.col('id').alias('id_b')), 'bucket')
+        .select(F.col('id').alias('id_a'), 'id_b')
+        .distinct()
+    )
+    both = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus_df.select(F.col(id_col), F.col(text_col))
+    )
+    verified = jaccard_for_pairs(pairs, both, id_col, text_col, n)
+    w = Window.partitionBy('id_a').orderBy(F.desc('jaccard'), F.asc('id_b'))
+    best = (
+        verified.filter(F.col('jaccard') >= threshold)
+        .withColumn('rn', F.row_number().over(w))
+        .filter(F.col('rn') == 1)
+        .select(F.col('id_a').alias('id'), F.col('id_b').alias('dup_of'), 'jaccard')
+    )
+    universe = new_df.select(F.col(id_col).alias('id'))
+    return universe.join(best, 'id', 'left').select(
+        'id', 'dup_of', 'jaccard', F.col('dup_of').isNull().alias('keep')
+    )

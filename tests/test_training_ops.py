@@ -1155,3 +1155,46 @@ def test_knn_classify_lsh_matches_brute_on_tight_clusters(spark):
     l2 = knn_classify(queries, refs, k=5, method='lsh',
                       n_planes=6, dim=8, multi_probe=True)
     assert lsh.exceptAll(l2).count() == 0
+
+
+def test_incremental_dedup_verdicts(spark):
+    from dgraphpandas_spark.operators.dedup import incremental_dedup, minhash_buckets
+
+    corpus = spark.createDataFrame(
+        [(1, 'a b c d e f g h'), (2, 'p q r s t u v w')],
+        'doc_id bigint, text string',
+    )
+    new = spark.createDataFrame(
+        [(101, 'a b c d e f g h'),            # exact dup of 1
+         (102, 'a b c d e f g h x y z'),       # tail-extended: J = 6/9
+         (103, 'zz yy xx ww vv uu tt ss')],    # novel
+        'doc_id bigint, text string',
+    )
+    out = {r['id']: r for r in incremental_dedup(new, corpus, threshold=0.5).collect()}
+    assert out[101]['dup_of'] == 1 and out[101]['jaccard'] == 1.0 and not out[101]['keep']
+    assert out[102]['dup_of'] == 1 and abs(out[102]['jaccard'] - 0.666667) < 1e-6
+    assert out[103]['dup_of'] is None and out[103]['keep']
+    # at a stricter threshold the tail-extended doc is admitted
+    strict = {r['id']: r for r in incremental_dedup(new, corpus, threshold=0.8).collect()}
+    assert strict[102]['keep'] and not strict[101]['keep']
+    # precomputed-index path is identical (the steady-state 100-TB shape)
+    idx = minhash_buckets(corpus)
+    via_idx = incremental_dedup(new, corpus, threshold=0.5, corpus_buckets=idx)
+    assert via_idx.exceptAll(incremental_dedup(new, corpus, threshold=0.5)).count() == 0
+
+
+def test_incremental_dedup_batch_cost_independent_of_corpus(spark, docs):
+    """Every new doc gets exactly one verdict row; planted shifts resolve
+    to their originals."""
+    from dgraphpandas_spark.operators.dedup import incremental_dedup
+
+    d = docs.select('doc_id', 'text')
+    new = d.filter('doc_id % 50 = 0').select(
+        (F.col('doc_id') + 1_000_000).alias('doc_id'), 'text')
+    out = incremental_dedup(new, d, bands=4, threshold=0.5)
+    assert out.count() == new.count()
+    matched = out.filter('NOT keep')
+    # exact copies must match their original id (jaccard 1.0 beats any tie)
+    wrong = matched.filter('dup_of <> id - 1000000 AND jaccard >= 0.999999').count()
+    assert wrong == 0
+    assert matched.count() >= int(0.9 * new.count())
