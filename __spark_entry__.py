@@ -2074,6 +2074,15 @@ def _cosine_sql(a: str, b: str) -> str:
     return f'({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))'
 
 
+def _unit_sql(v: str) -> str:
+    """L2-normalized copy of a double list — mirrors functions.similarity
+    .unit bit-exactly (same left-to-right fold, IEEE sqrt/divide), so
+    prenormalized Spark operators (knn_graph, knn_classify) stay
+    hash-comparable: cosine(a, b) == dot(unit(a), unit(b)) on BOTH
+    engines because both compute the identical float ops."""
+    return f'list_transform({v}, x -> x / sqrt({_dot_sql(v, v)}))'
+
+
 def _lang_sql() -> str:
     toks = _TOKS.format(col='text')
     hits = {}
@@ -3171,11 +3180,12 @@ LEFT JOIN (SELECT id, dup_of, jaccard FROM best WHERE rn = 1) b USING (id)
 """
 
     sql['emb_knn_classify'] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v, label FROM embeddings),
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0, label FROM embeddings),
+e AS (SELECT vec_id, {_unit_sql('v0')} AS v, label FROM e0),
 q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e WHERE vec_id % 25 = 0),
 r AS (SELECT vec_id AS rid, v AS rv, label FROM e WHERE vec_id % 25 <> 0),
 s AS (SELECT q.qid, q.true_label, r.rid, r.label,
-             round({_cosine_sql('r.rv', 'q.qv')}, 6) AS cos
+             round({_dot_sql('r.rv', 'q.qv')}, 6) AS cos
       FROM r, q),
 tk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, rid) AS rnk FROM s),
 votes AS (SELECT qid, true_label, label, count(*) AS votes
@@ -3617,14 +3627,13 @@ FROM documents
     # a symmetric Hamming≤1 predicate), per-node top-5 window with the
     # (cos DESC, nbr ASC) total order — mirrors simsearch.knn_graph
     sql['emb_knn_graph'] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
-                  {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
-           FROM embeddings),
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0 FROM embeddings),
+e AS (SELECT vec_id, {_unit_sql('v0')} AS v, {_lsh_bucket_sql('v0')} AS bucket FROM e0),
 okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000),
 g AS (SELECT e.* FROM e JOIN okb USING (bucket)),
 p AS (SELECT vec_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS bucket FROM g),
 cand AS (SELECT a.vec_id AS id, p.vec_id AS nbr,
-                round({_cosine_sql('a.v', 'p.v')}, 6) AS cos
+                round({_dot_sql('a.v', 'p.v')}, 6) AS cos
          FROM g a JOIN p ON a.bucket = p.bucket
          WHERE a.vec_id != p.vec_id),
 r AS (SELECT id, nbr, cos,
@@ -3641,25 +3650,23 @@ SELECT id, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
     # disjoint by construction (hot ids never enter the cold branch and
     # hot meets only hot of the same original bucket), so UNION ALL — no
     # dedup — mirrors knn_graph's unionByName exactly.
-    _hb = _lsh_bucket_sql_planes('list_transform(embedding, x -> x::double)',
-                                 hyperplanes(4, 64, 42))
-    _sb = _lsh_bucket_sql_planes('v', hyperplanes(4, 64, 42 + 104_729))
+    _hb = _lsh_bucket_sql_planes('v0', hyperplanes(4, 64, 42))
+    _sb = _lsh_bucket_sql_planes('v0', hyperplanes(4, 64, 42 + 104_729))
     sql['emb_knn_graph_hot'] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
-                  {_hb} AS bucket
-           FROM embeddings),
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0 FROM embeddings),
+e AS (SELECT vec_id, {_unit_sql('v0')} AS v, {_hb} AS bucket, {_sb} AS sub0 FROM e0),
 hot AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) > 40),
 cold AS (SELECT e.* FROM e ANTI JOIN hot USING (bucket)),
 cp AS (SELECT vec_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket FROM cold),
 ccand AS (SELECT a.vec_id AS id, cp.vec_id AS nbr,
-                 round({_cosine_sql('a.v', 'cp.v')}, 6) AS cos
+                 round({_dot_sql('a.v', 'cp.v')}, 6) AS cos
           FROM cold a JOIN cp ON a.bucket = cp.bucket
           WHERE a.vec_id != cp.vec_id),
-h AS (SELECT e.vec_id, e.v, e.bucket, {_sb} AS sub
+h AS (SELECT e.vec_id, e.v, e.bucket, e.sub0 AS sub
       FROM e SEMI JOIN hot USING (bucket)),
 hp AS (SELECT vec_id, v, bucket, unnest([sub, xor(sub, 1), xor(sub, 2), xor(sub, 4), xor(sub, 8)]) AS sub FROM h),
 hcand AS (SELECT a.vec_id AS id, hp.vec_id AS nbr,
-                 round({_cosine_sql('a.v', 'hp.v')}, 6) AS cos
+                 round({_dot_sql('a.v', 'hp.v')}, 6) AS cos
           FROM h a JOIN hp ON a.bucket = hp.bucket AND a.sub = hp.sub
           WHERE a.vec_id != hp.vec_id),
 cand AS (SELECT * FROM ccand UNION ALL SELECT * FROM hcand),
@@ -3673,11 +3680,16 @@ SELECT id, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
     # (shared _kmeans_ctes replay — identical quantized training rounds)
     _knn_parts, _knn_prev = _kmeans_ctes(8, 2, 64)
     _knn_parts.append(_final_assign_cte(_knn_prev))
-    _knn_cos = _cosine_sql('a.v', 'b.v')
+    # cell assignment used the RAW vectors (identical k-means replay);
+    # normalize after fin so the per-pair cosine is one dot — mirrors
+    # knn_graph's ivf path
+    _knn_parts.append(
+        f"finn AS (SELECT vec_id, cell, {_unit_sql('v')} AS v FROM fin)"
+    )
     _knn_parts.append(
         'cand AS (SELECT a.vec_id AS id, b.vec_id AS nbr, '
-        f'round({_knn_cos}, 6) AS cos '
-        'FROM fin a JOIN fin b USING (cell) WHERE a.vec_id != b.vec_id)'
+        f"round({_dot_sql('a.v', 'b.v')}, 6) AS cos "
+        'FROM finn a JOIN finn b USING (cell) WHERE a.vec_id != b.vec_id)'
     )
     _knn_parts.append(
         'r AS (SELECT id, nbr, cos, row_number() OVER ('

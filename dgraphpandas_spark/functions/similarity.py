@@ -33,6 +33,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(a: Column) -> Column:
+    """Vector scaled to unit L2 length (doubles).
+
+    The cosine-at-scale primitive: normalize each JOIN SIDE once, and the
+    per-candidate-pair cosine collapses to a single dot product — a 3×
+    FLOP cut in the stage that dominates blocked kNN/near-dup verify
+    (``cosine(a, b)`` recomputes both self-dots per pair).  Bit-exactly
+    mirrorable in DuckDB (same left-to-right fold, IEEE sqrt/divide), so
+    prenormalized operators stay oracle-hashable."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast('double') / n)
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[float]]:
     """Deterministic random hyperplanes for sign-LSH.  Plain seeded PRNG at
     plan-construction time (driver-side) — the SAME constants are embedded

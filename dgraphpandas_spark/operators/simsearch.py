@@ -17,7 +17,7 @@ from typing import List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine, hyperplanes, ivf_cell, lsh_bucket
+from ..functions.similarity import cosine, dot, hyperplanes, ivf_cell, lsh_bucket, unit
 
 
 def brute_force_topk(
@@ -383,17 +383,23 @@ def knn_graph(
         cents = centroids if centroids is not None else train_ivf_centroids(
             df, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
+        # cell assignment reads the RAW vector (identical blocking to the
+        # oracle); the stored v is prenormalized so the per-pair cosine
+        # below is ONE dot product instead of three (functions.unit)
         bucketed = ivf_assign(df, vec_col=vec_col, centroids=cents).select(
-            F.col(id_col).alias('id'), F.col(vec_col).alias('v'),
+            F.col(id_col).alias('id'), unit(F.col(vec_col)).alias('v'),
             F.col('cell').alias('bucket'),
         )
         a = bucketed.select('id', F.col('v').alias('va'), 'bucket')
         b = bucketed.select(F.col('id').alias('nbr'), F.col('v').alias('vb'), 'bucket')
     else:
         planes = hyperplanes(n_planes, dim, seed)
+        # bucket from the RAW vector (sign-LSH is scale-invariant in exact
+        # math but not in fp ulps — raw keeps blocking bit-identical to
+        # the oracle); v prenormalized for the one-dot cosine
         bucketed = df.select(
             F.col(id_col).alias('id'),
-            F.col(vec_col).alias('v'),
+            unit(F.col(vec_col)).alias('v'),
             lsh_bucket(F.col(vec_col), planes).alias('bucket'),
         )
         hot_buckets: list = []
@@ -422,21 +428,22 @@ def knn_graph(
     cand = (
         a.join(b, 'bucket')
         .filter(F.col('id') != F.col('nbr'))
-        .select('id', 'nbr', F.round(cosine(F.col('va'), F.col('vb')), 6).alias('cos'))
+        .select('id', 'nbr', F.round(dot(F.col('va'), F.col('vb')), 6).alias('cos'))
     )
     if method != 'ivf' and max_bucket and hot_buckets:
         # Fallback routing for hot-bucket members: refine with independent
         # extra planes, join within (bucket, sub).  Hot meets only hot of
         # the same original bucket — disjoint from the primary join's
         # pairs, so a plain unionByName is duplicate-free.
+        # Both bucket AND sub come from the RAW vector (see above); v is
+        # prenormalized for the one-dot cosine.
         sub_planes = hyperplanes(n_sub_planes, dim, seed + 104_729)
         hot_ref = df.select(
             F.col(id_col).alias('id'),
-            F.col(vec_col).alias('v'),
+            unit(F.col(vec_col)).alias('v'),
             lsh_bucket(F.col(vec_col), planes).alias('bucket'),
-        ).filter(F.col('bucket').isin(hot_buckets)).withColumn(
-            'sub', lsh_bucket(F.col('v'), sub_planes)
-        )
+            lsh_bucket(F.col(vec_col), sub_planes).alias('sub'),
+        ).filter(F.col('bucket').isin(hot_buckets))
         ha = hot_ref.select('id', F.col('v').alias('va'), 'bucket', 'sub')
         hb_src = hot_ref
         if multi_probe:
@@ -454,7 +461,7 @@ def knn_graph(
             ha.join(hb, ['bucket', 'sub'])
             .filter(F.col('id') != F.col('nbr'))
             .select('id', 'nbr',
-                    F.round(cosine(F.col('va'), F.col('vb')), 6).alias('cos'))
+                    F.round(dot(F.col('va'), F.col('vb')), 6).alias('cos'))
         )
         cand = cand.unionByName(hot_cand)
     w = Window.partitionBy('id').orderBy(F.desc('cos'), F.asc('nbr'))
@@ -507,16 +514,24 @@ def knn_classify(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias('qid'), F.col(vec_col).alias('qv'))
+    # each side prenormalized ONCE (functions.unit) so the per-pair cosine
+    # in the scoring join is a single dot product; LSH buckets are computed
+    # from the RAW vectors to keep blocking bit-identical to the oracle
+    q = queries.select(
+        F.col(id_col).alias('qid'),
+        unit(F.col(vec_col)).alias('qv'),
+        F.col(vec_col).alias('qraw'),
+    )
     r = refs.select(
         F.col(id_col).alias('rid'),
-        F.col(vec_col).alias('rv'),
+        unit(F.col(vec_col)).alias('rv'),
+        F.col(vec_col).alias('rraw'),
         F.col(label_col).alias('label'),
     )
     if method == 'lsh':
         planes = hyperplanes(n_planes, dim, seed)
-        r = r.withColumn('bucket', lsh_bucket(F.col('rv'), planes))
-        qb = q.withColumn('bucket', lsh_bucket(F.col('qv'), planes))
+        r = r.withColumn('bucket', lsh_bucket(F.col('rraw'), planes))
+        qb = q.withColumn('bucket', lsh_bucket(F.col('qraw'), planes))
         if multi_probe:
             probes = F.array(
                 F.col('bucket'),
@@ -525,10 +540,10 @@ def knn_classify(
             qb = qb.select('qid', 'qv', F.explode(probes).alias('bucket'))
         cand = r.join(F.broadcast(qb), 'bucket')
     else:
-        cand = r.crossJoin(F.broadcast(q))
+        cand = r.crossJoin(F.broadcast(q.select('qid', 'qv')))
     scored = cand.select(
         'qid', 'rid', 'label',
-        F.round(cosine(F.col('rv'), F.col('qv')), 6).alias('cos'),
+        F.round(dot(F.col('rv'), F.col('qv')), 6).alias('cos'),
     )
     wk = Window.partitionBy('qid').orderBy(F.desc('cos'), F.asc('rid'))
     topk = scored.withColumn('rank', F.row_number().over(wk)).filter(F.col('rank') <= k)
