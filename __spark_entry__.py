@@ -2193,9 +2193,13 @@ def _semantic_dedup_sql(
     lowest-id-representative keep rule (mirrors dedup.semantic_dedup)."""
     parts, prev = _kmeans_ctes(n_cells, iters, dim)
     parts.append(_final_assign_cte(prev))
-    cos = _cosine_sql('a.v', 'b.v')
+    # cell assignment replayed on the RAW vectors; normalize once after
+    # fin so the within-cell pair scan is one dot per pair — mirrors
+    # semantic_dedup's prenormalized assigned frame
+    parts.append(f"finn AS (SELECT vec_id, cell, {_unit_sql('v')} AS v FROM fin)")
+    cos = _dot_sql('a.v', 'b.v')
     parts.append(
-        'dups AS (SELECT DISTINCT a.vec_id FROM fin a JOIN fin b USING (cell) '
+        'dups AS (SELECT DISTINCT a.vec_id FROM finn a JOIN finn b USING (cell) '
         f'WHERE a.vec_id > b.vec_id AND round({cos}, 6) >= {threshold})'
     )
     return (
@@ -3573,7 +3577,9 @@ img AS (
 SELECT * FROM aud UNION ALL SELECT * FROM img
 """
 
-    cos_ab = _cosine_sql('a.v', 'b.v')
+    # prenormalized pair scoring (mirrors dedup.embedding_neardup_pairs*:
+    # each side unit-scaled ONCE, one dot per candidate pair)
+    cos_ab = _dot_sql('a.v', 'b.v')
     _cov_rows = []
     for _ci in range(8):
         for _cj in range(_ci, 8):
@@ -3588,17 +3594,18 @@ SELECT * FROM aud UNION ALL SELECT * FROM img
     )
 
     sql['emb_neardup_pairs'] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0 FROM embeddings),
+e AS (SELECT vec_id, {_unit_sql('v0')} AS v FROM e0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos
 FROM e a, e b
 WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
 """
 
-    # hot-bucket cap mirrored (engine default max_bucket=10000)
+    # hot-bucket cap mirrored (engine default max_bucket=10000);
+    # bucket from the RAW vector, stored v prenormalized (one dot/pair)
     sql['emb_neardup_lsh'] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
-                  {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
-           FROM embeddings),
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0 FROM embeddings),
+e AS (SELECT vec_id, {_unit_sql('v0')} AS v, {_lsh_bucket_sql('v0')} AS bucket FROM e0),
 okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000)
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos
 FROM e a JOIN e b USING (bucket) JOIN okb USING (bucket)
@@ -3607,15 +3614,14 @@ WHERE a.vec_id < b.vec_id AND round({cos_ab}, 6) >= 0.4
 
     # multi-probe: b-side explodes to its Hamming-1 neighbor buckets
     sql['emb_neardup_lsh_multiprobe'] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
-                  {_lsh_bucket_sql('list_transform(embedding, x -> x::double)')} AS bucket
-           FROM embeddings),
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0 FROM embeddings),
+e AS (SELECT vec_id, {_unit_sql('v0')} AS v, {_lsh_bucket_sql('v0')} AS bucket FROM e0),
 okb AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 10000),
 g AS (SELECT e.* FROM e JOIN okb USING (bucket)),
 p AS (SELECT vec_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)]) AS bucket FROM g)
-SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b, round({_cosine_sql('a.v', 'p.v')}, 6) AS cos
+SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b, round({_dot_sql('a.v', 'p.v')}, 6) AS cos
 FROM g a JOIN p ON a.bucket = p.bucket
-WHERE a.vec_id < p.vec_id AND round({_cosine_sql('a.v', 'p.v')}, 6) >= 0.4
+WHERE a.vec_id < p.vec_id AND round({_dot_sql('a.v', 'p.v')}, 6) >= 0.4
 """
 
     sql['multimodal_meta'] = """

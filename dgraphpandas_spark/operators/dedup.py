@@ -21,7 +21,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine
+from ..functions.similarity import dot, unit
 from ..functions.text import fingerprint, token_count, tokens
 
 
@@ -383,11 +383,14 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force verifier; candidate
     generation at scale goes through simsearch.lsh buckets first)."""
-    a = df.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('va'))
-    b = df.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('vb'))
+    # each side L2-normalized ONCE (functions.unit) so the O(pairs)
+    # stage pays one dot per pair, not three — the oracle mirrors the
+    # identical prenormalized formula
+    a = df.select(F.col(id_col).alias('id_a'), unit(F.col(vec_col)).alias('va'))
+    b = df.select(F.col(id_col).alias('id_b'), unit(F.col(vec_col)).alias('vb'))
     return (
         a.join(b, F.col('id_a') < F.col('id_b'))
-        .withColumn('cos', F.round(cosine(F.col('va'), F.col('vb')), 6))
+        .withColumn('cos', F.round(dot(F.col('va'), F.col('vb')), 6))
         .filter(F.col('cos') >= threshold)
         .select('id_a', 'id_b', 'cos')
     )
@@ -423,9 +426,11 @@ def embedding_neardup_pairs_lsh(
     from ..functions.similarity import hyperplanes, lsh_bucket
 
     planes = hyperplanes(n_planes, dim, seed)
+    # bucket from the RAW vector (fp-exact blocking parity with the
+    # oracle); stored v prenormalized for the one-dot cosine
     bucketed = df.select(
         F.col(id_col).alias('id'),
-        F.col(vec_col).alias('v'),
+        unit(F.col(vec_col)).alias('v'),
         lsh_bucket(F.col(vec_col), planes).alias('bucket'),
     )
     if max_bucket:
@@ -451,7 +456,7 @@ def embedding_neardup_pairs_lsh(
     return (
         a.join(b, 'bucket')
         .filter(F.col('id_a') < F.col('id_b'))
-        .withColumn('cos', F.round(cosine(F.col('va'), F.col('vb')), 6))
+        .withColumn('cos', F.round(dot(F.col('va'), F.col('vb')), 6))
         .filter(F.col('cos') >= threshold)
         .select('id_a', 'id_b', 'cos')
         .distinct()
@@ -490,15 +495,17 @@ def semantic_dedup(
         centroids = train_ivf_centroids(
             df, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
+    # cell from the RAW vector (identical k-means replay vs the oracle);
+    # stored v prenormalized so within-cell pair scoring is one dot each
     assigned = ivf_assign(df, vec_col=vec_col, centroids=centroids).select(
-        F.col(id_col).alias('id'), F.col(vec_col).alias('v'), 'cell'
+        F.col(id_col).alias('id'), unit(F.col(vec_col)).alias('v'), 'cell'
     )
     a = assigned.select(F.col('id').alias('id_a'), F.col('v').alias('va'), 'cell')
     b = assigned.select(F.col('id').alias('id_b'), F.col('v').alias('vb'), 'cell')
     dups = (
         a.join(b, 'cell')
         .filter(F.col('id_a') > F.col('id_b'))
-        .filter(F.round(cosine(F.col('va'), F.col('vb')), 6) >= threshold)
+        .filter(F.round(dot(F.col('va'), F.col('vb')), 6) >= threshold)
         .select(F.col('id_a').alias('id'))
         .distinct()
     )
