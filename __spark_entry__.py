@@ -1068,6 +1068,32 @@ def q_emb_covariance(spark, sf_dir):
     return SS.covariance_matrix(_t(spark, sf_dir, 'embeddings'), k=8)
 
 
+def q_emb_pq_codes(spark, sf_dir):
+    """Product-quantization code table (simsearch.train_pq_codebooks +
+    pq_encode): 4 subspaces × 8 codes, 1 deterministic Lloyd round per
+    subspace; encode is one codegen projection (codebooks are literals).
+    Tall (vec_id, sub, code) output; the oracle replays each subspace's
+    training as suffix-uniquified k-means CTEs."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    books = SS.train_pq_codebooks(emb, m_sub=4, n_codes=8, iters=1, dim=64)
+    enc = SS.pq_encode(emb, books)
+    return enc.select(
+        'vec_id',
+        F.posexplode(F.array(*[F.col(f'code_{s}') for s in range(4)])).alias('sub', 'code'),
+    )
+
+
+def q_emb_pq_topk(spark, sf_dir):
+    """ADC top-10 over PQ codes (simsearch.pq_topk): driver builds the
+    4×8 query-vs-codebook lookup table once, every row is scored by 4
+    array-literal lookups + 3 adds — no per-row dot products — into one
+    TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    books = SS.train_pq_codebooks(emb, m_sub=4, n_codes=8, iters=1, dim=64)
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    return SS.pq_topk(emb, qvec, books, k=10)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means clusters (2 deterministic
     Lloyd rounds, shared with the trained-IVF quantizer) + within-cluster
@@ -1998,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_collocations': q_corpus_collocations,
         'emb_knn_classify': q_emb_knn_classify,
         'dedup_incremental': q_dedup_incremental,
+        'emb_pq_codes': q_emb_pq_codes,
+        'emb_pq_topk': q_emb_pq_topk,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2007,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query goes two rounds unchecked.  The 48 r4-green entries take the
     # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
+        'emb_pq_codes', 'emb_pq_topk',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -2142,47 +2171,58 @@ def _minhash_sql(bands: int = 4, n: int = 3) -> str:
     return f'WITH {_minhash_cand_ctes(bands, n)} SELECT id_a, id_b FROM cand'
 
 
-def _kmeans_ctes(n_cells: int = 8, iters: int = 2, dim: int = 64):
-    """K-means-training CTEs shared by the trained-IVF and SemDeDup oracles
-    (replays simsearch.train_ivf_centroids in SQL: md5-ordered init,
-    per-round nearest-centroid assignment — round(dot,6) DESC, cell ASC,
-    first-max-wins like ivf_cell — and per-dim means rounded to 6 decimals
-    so training error cannot propagate between engines).  Returns
-    (parts, final) where ``final`` names the trained-centroid CTE."""
+def _kmeans_ctes(n_cells: int = 8, iters: int = 2, dim: int = 64,
+                 suffix: str = '', base_cte: str = None):
+    """K-means-training CTEs shared by the trained-IVF, SemDeDup and PQ
+    oracles (replays simsearch.train_ivf_centroids in SQL: md5-ordered
+    init, per-round nearest-centroid assignment — round(dot,6) DESC, cell
+    ASC, first-max-wins like ivf_cell — and per-dim means rounded to 6
+    decimals so training error cannot propagate between engines).  Returns
+    (parts, final) where ``final`` names the trained-centroid CTE.
+
+    ``suffix`` uniquifies every CTE name so several replays can share one
+    statement (one per PQ subspace); ``base_cte`` overrides the default
+    full-embedding base relation and must define ``e{suffix}(vec_id, v)``.
+    """
+    e = f'e{suffix}'
     avgs = ', '.join(f'round(avg(v[{i + 1}]), 6)' for i in range(dim))
-    dot = _dot_sql('e.v', 'c.c')
+    dot = _dot_sql(f'{e}.v', 'c.c')
     parts = [
-        'e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)',
+        base_cte or
+        f'{e} AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)',
         (
-            'init AS (SELECT (row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1)::int AS cell, '
+            f'init{suffix} AS (SELECT (row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1)::int AS cell, '
             'list_transform(v, x -> round(x, 6)) AS c '
-            f'FROM (SELECT vec_id, v FROM e ORDER BY md5(vec_id::varchar), vec_id LIMIT {n_cells}))'
+            f'FROM (SELECT vec_id, v FROM {e} ORDER BY md5(vec_id::varchar), vec_id LIMIT {n_cells}))'
         ),
     ]
-    prev = 'init'
+    prev = f'init{suffix}'
     for it in range(iters):
         parts.append(
-            f'assign{it} AS (SELECT vec_id, v, cell FROM ('
-            'SELECT e.vec_id, e.v, c.cell, row_number() OVER ('
-            f'PARTITION BY e.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
-            f'FROM e CROSS JOIN {prev} c) WHERE rn = 1)'
+            f'assign{it}{suffix} AS (SELECT vec_id, v, cell FROM ('
+            f'SELECT {e}.vec_id, {e}.v, c.cell, row_number() OVER ('
+            f'PARTITION BY {e}.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
+            f'FROM {e} CROSS JOIN {prev} c) WHERE rn = 1)'
         )
-        parts.append(f'cagg{it} AS (SELECT cell, [{avgs}] AS c FROM assign{it} GROUP BY cell)')
         parts.append(
-            f'cent{it} AS (SELECT p.cell, coalesce(a.c, p.c) AS c '
-            f'FROM {prev} p LEFT JOIN cagg{it} a USING (cell))'
+            f'cagg{it}{suffix} AS (SELECT cell, [{avgs}] AS c FROM assign{it}{suffix} GROUP BY cell)'
         )
-        prev = f'cent{it}'
+        parts.append(
+            f'cent{it}{suffix} AS (SELECT p.cell, coalesce(a.c, p.c) AS c '
+            f'FROM {prev} p LEFT JOIN cagg{it}{suffix} a USING (cell))'
+        )
+        prev = f'cent{it}{suffix}'
     return parts, prev
 
 
-def _final_assign_cte(prev: str) -> str:
-    dot = _dot_sql('e.v', 'c.c')
+def _final_assign_cte(prev: str, suffix: str = '') -> str:
+    e = f'e{suffix}'
+    dot = _dot_sql(f'{e}.v', 'c.c')
     return (
-        'fin AS (SELECT vec_id, v, cell FROM ('
-        'SELECT e.vec_id, e.v, c.cell, row_number() OVER ('
-        f'PARTITION BY e.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
-        f'FROM e CROSS JOIN {prev} c) WHERE rn = 1)'
+        f'fin{suffix} AS (SELECT vec_id, v, cell FROM ('
+        f'SELECT {e}.vec_id, {e}.v, c.cell, row_number() OVER ('
+        f'PARTITION BY {e}.vec_id ORDER BY round({dot}, 6) DESC, c.cell ASC) AS rn '
+        f'FROM {e} CROSS JOIN {prev} c) WHERE rn = 1)'
     )
 
 
@@ -2290,6 +2330,68 @@ def _trained_ivf_sql(
         + f' SELECT f.vec_id, round({cos}, 6) AS score FROM fin f, q '
         'WHERE f.cell IN (SELECT cell FROM probes) '
         f'ORDER BY score DESC, f.vec_id LIMIT {k}'
+    )
+
+
+def _pq_ctes(m_sub: int = 4, n_codes: int = 8, iters: int = 1, dim: int = 64):
+    """Per-subspace PQ replay: slices the shared double-cast base ``eb``
+    into ``m_sub`` contiguous blocks and replays the deterministic k-means
+    (suffix-uniquified ``_kmeans_ctes``) plus the final code assignment in
+    each — mirrors simsearch.train_pq_codebooks + pq_encode.  Returns
+    (parts, fins, cents): CTE list, the per-subspace ``fin_p{s}(vec_id,
+    cell)`` names, and the trained-codebook CTE names."""
+    d_sub = dim // m_sub
+    parts = [
+        'eb AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)'
+    ]
+    fins, cents = [], []
+    for s in range(m_sub):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        base = f'e_p{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM eb)'
+        sp, prev = _kmeans_ctes(n_codes, iters, d_sub, suffix=f'_p{s}', base_cte=base)
+        parts += sp
+        parts.append(_final_assign_cte(prev, suffix=f'_p{s}'))
+        fins.append(f'fin_p{s}')
+        cents.append(prev)
+    return parts, fins, cents
+
+
+def _pq_codes_sql(m_sub: int = 4, n_codes: int = 8, iters: int = 1, dim: int = 64) -> str:
+    """Tall (vec_id, sub, code) PQ code table — mirrors pq_encode +
+    posexplode."""
+    parts, fins, _ = _pq_ctes(m_sub, n_codes, iters, dim)
+    sel = ' UNION ALL '.join(
+        f'SELECT vec_id, {s} AS sub, cell AS code FROM {fins[s]}' for s in range(m_sub)
+    )
+    return 'WITH ' + ', '.join(parts) + f' SELECT vec_id, sub, code FROM ({sel})'
+
+
+def _pq_topk_sql(m_sub: int = 4, n_codes: int = 8, iters: int = 1,
+                 dim: int = 64, k: int = 10) -> str:
+    """ADC top-k replay: per-subspace LUT = UNROUNDED dot of the query
+    slice with every trained codebook entry (the exact doubles the Spark
+    side embeds as literals — Python's left-to-right float sum is
+    bit-identical to this list fold); score = the m_sub LUT terms added
+    left-to-right, rounded once IN ENGINE on both sides (mirrors
+    simsearch.pq_topk)."""
+    d_sub = dim // m_sub
+    parts, fins, cents = _pq_ctes(m_sub, n_codes, iters, dim)
+    parts.append('q AS (SELECT v FROM eb WHERE vec_id = 0)')
+    for s in range(m_sub):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        w = _dot_sql(f'q.v[{lo}:{hi}]', 'c.c')
+        parts.append(f'lut_p{s} AS (SELECT c.cell, {w} AS w FROM {cents[s]} c, q)')
+    joins = ' '.join(
+        f'JOIN {fins[s]} f{s} USING (vec_id)' for s in range(1, m_sub)
+    ) + ' ' + ' '.join(
+        f'JOIN lut_p{s} l{s} ON f{s}.cell = l{s}.cell' for s in range(m_sub)
+    )
+    score = ' + '.join(f'l{s}.w' for s in range(m_sub))
+    return (
+        'WITH ' + ', '.join(parts)
+        + f' SELECT f0.vec_id, round({score}, 6) AS score '
+        f'FROM {fins[0]} f0 {joins} '
+        f'ORDER BY score DESC, f0.vec_id LIMIT {k}'
     )
 
 
@@ -3516,6 +3618,8 @@ LIMIT 10
 
     sql['ann_ivf_trained_topk'] = _trained_ivf_sql(n_cells=8, iters=2, nprobe=2, k=10, dim=64)
     sql['dedup_semantic'] = _semantic_dedup_sql(threshold=0.4, n_cells=8, iters=2, dim=64)
+    sql['emb_pq_codes'] = _pq_codes_sql(m_sub=4, n_codes=8, iters=1, dim=64)
+    sql['emb_pq_topk'] = _pq_topk_sql(m_sub=4, n_codes=8, iters=1, dim=64, k=10)
 
     # Recall@10 of each approximate index vs exact brute force: the three
     # candidate top-10s are the (already-green) per-method oracle queries

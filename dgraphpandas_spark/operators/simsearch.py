@@ -301,6 +301,126 @@ def covariance_matrix(
     )
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    dim: int = 64,
+    ndigits: int = 6,
+) -> List[List[List[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    ``dim``-dimensional space into ``m_sub`` contiguous subspaces and train
+    an ``n_codes``-entry codebook in each with the same fully deterministic
+    k-means as ``train_ivf_centroids`` (md5-ordered init, argmax-dot
+    assignment, per-round 6-dp centroid rounding — the DuckDB oracle
+    replays every subspace's training bit-identically).
+
+    Returns ``m_sub`` codebooks of ``n_codes × dim/m_sub`` floats — the
+    whole index metadata is ``m_sub·n_codes·d_sub`` doubles (KBs), broadcast
+    into every downstream expression as literals.
+
+    Scale shape: each subspace trains on a SLICE projection of the one
+    corpus (column-pruned scan; the slice never shuffles), and each Lloyd
+    round is the same constant-width HashAggregate as the IVF trainer —
+    n_codes × d_sub partial sums per task, never vectors to the driver
+    beyond the codebook itself.  The m_sub trainings run sequentially here
+    (toy scale); at 100 TB persist the sliced+assigned frame once per round
+    and fan the m_sub aggregates out from it — same total shuffle bytes,
+    one corpus scan per round instead of m_sub.
+    """
+    d_sub = dim // m_sub
+    return [
+        train_ivf_centroids(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col),
+            ),
+            n_cells=n_codes,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            ndigits=ndigits,
+        )
+        for s in range(m_sub)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Encode every vector to its ``m_sub`` PQ codes (nearest codebook
+    entry per subspace, argmax dot with the ``ivf_cell`` tie rule).  The
+    64-dim float corpus compresses to m_sub small ints per row — at
+    dim=64/m_sub=4/n_codes=256 that is 256 bytes → 4 bytes, the compression
+    that lets a 100 TB embedding corpus fit hot storage for ADC scans.
+
+    Pure projection: codebooks are plan literals, so this is ONE
+    whole-stage-codegen map over the scan — zero exchanges, zero actions
+    (pinned by tests/test_pq.py).  Returns DataFrame[id, code_0..code_{M-1}].
+    """
+    d_sub = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col),
+        *[
+            ivf_cell(F.slice(F.col(vec_col), s * d_sub + 1, d_sub), book).alias(f'code_{s}')
+            for s, book in enumerate(codebooks)
+        ],
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the driver dots the
+    query's m_sub sub-vectors against every codebook entry ONCE
+    (m_sub × n_codes lookup table, metadata-scale), and each corpus row is
+    scored by m_sub array-literal lookups + one 4-term add — no per-row
+    dot products at all.  Per-row FLOPs drop from dim multiplies to m_sub
+    adds; the plan is a pure projection into ONE TakeOrderedAndProject
+    (driver receives k rows).
+
+    LUT values are exact unrounded doubles (Python's left-to-right float
+    sum is bit-identical to the engines' list folds given the 6-dp-rounded
+    trained centroids); only the final m_sub-term score is rounded, IN
+    ENGINE on both sides, so the DuckDB oracle — which replays training and
+    builds the same LUT in SQL — hashes identically.  Ranking is the usual
+    total order (score DESC, id ASC).
+
+    At scale the encoded table comes from a materialized ``pq_encode``
+    output (codes are corpus-stable); re-encoding inline here keeps the
+    toy-scale query self-contained.
+    """
+    d_sub = len(codebooks[0][0])
+    enc = pq_encode(df, codebooks, id_col, vec_col)
+    score = None
+    for s, book in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[s * d_sub:(s + 1) * d_sub]]
+        lut = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(qs, c):
+                acc = acc + a * float(b)
+            lut.append(acc)
+        term = F.get(F.array(*[F.lit(w) for w in lut]), F.col(f'code_{s}'))
+        score = term if score is None else score + term
+    return (
+        enc.select(F.col(id_col), F.round(score, 6).alias('score'))
+        .orderBy(F.desc('score'), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def knn_graph(
     df: DataFrame,
     id_col: str = 'vec_id',
