@@ -1094,6 +1094,21 @@ def q_emb_pq_topk(spark, sf_dir):
     return SS.pq_topk(emb, qvec, books, k=10)
 
 
+def q_emb_pq_ivf_topk(spark, sf_dir):
+    """Composed IVF×PQ serving path — what a 100-TB ANN query actually
+    runs: the seeded coarse quantizer prunes to nprobe=2 cells (with a
+    materialized codes table written partitionBy(cell) this is partition
+    pruning at the SCAN, per ivf_materialize), and only the surviving
+    rows are ADC-scored via the PQ lookup table.  Candidate volume
+    nprobe/n_cells × corpus; per-candidate cost m_sub lookups."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    books = SS.train_pq_codebooks(emb, m_sub=4, n_codes=8, iters=1, dim=64)
+    qvec = [float(x) for x in emb.filter('vec_id = 0').first()['embedding']]
+    probes = SS._query_cells(qvec, CENTROIDS, 2)
+    pruned = SS.ivf_assign(emb, centroids=CENTROIDS).filter(F.col('cell').isin(probes))
+    return SS.pq_topk(pruned, qvec, books, k=10)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means clusters (2 deterministic
     Lloyd rounds, shared with the trained-IVF quantizer) + within-cluster
@@ -2026,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'emb_pq_codes': q_emb_pq_codes,
         'emb_pq_topk': q_emb_pq_topk,
+        'emb_pq_ivf_topk': q_emb_pq_ivf_topk,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2035,7 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query goes two rounds unchecked.  The 48 r4-green entries take the
     # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
-        'emb_pq_codes', 'emb_pq_topk',
+        'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -2367,16 +2383,32 @@ def _pq_codes_sql(m_sub: int = 4, n_codes: int = 8, iters: int = 1, dim: int = 6
 
 
 def _pq_topk_sql(m_sub: int = 4, n_codes: int = 8, iters: int = 1,
-                 dim: int = 64, k: int = 10) -> str:
+                 dim: int = 64, k: int = 10, nprobe: int = None) -> str:
     """ADC top-k replay: per-subspace LUT = UNROUNDED dot of the query
     slice with every trained codebook entry (the exact doubles the Spark
     side embeds as literals — Python's left-to-right float sum is
     bit-identical to this list fold); score = the m_sub LUT terms added
     left-to-right, rounded once IN ENGINE on both sides (mirrors
-    simsearch.pq_topk)."""
+    simsearch.pq_topk).  ``nprobe`` adds the composed IVF×PQ path: only
+    rows in the query's nprobe nearest seeded coarse-quantizer cells are
+    scored (mirrors ivf_assign + _query_cells pruning before pq_topk)."""
     d_sub = dim // m_sub
     parts, fins, cents = _pq_ctes(m_sub, n_codes, iters, dim)
     parts.append('q AS (SELECT v FROM eb WHERE vec_id = 0)')
+    where = ''
+    if nprobe:
+        cent_rows = ' UNION ALL '.join(
+            f"SELECT {i} AS cell, round({_dot_sql('q.v', plane_sql_literal(c))}, 6) AS s FROM q"
+            for i, c in enumerate(CENTROIDS)
+        )
+        parts.append(
+            f'probes AS (SELECT cell FROM ({cent_rows}) ORDER BY s DESC, cell ASC LIMIT {nprobe})'
+        )
+        parts.append(f"cellof AS (SELECT vec_id, {_ivf_cell_sql('v')} AS cell FROM eb)")
+        where = (
+            ' WHERE f0.vec_id IN (SELECT vec_id FROM cellof '
+            'WHERE cell IN (SELECT cell FROM probes))'
+        )
     for s in range(m_sub):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
         w = _dot_sql(f'q.v[{lo}:{hi}]', 'c.c')
@@ -2390,7 +2422,7 @@ def _pq_topk_sql(m_sub: int = 4, n_codes: int = 8, iters: int = 1,
     return (
         'WITH ' + ', '.join(parts)
         + f' SELECT f0.vec_id, round({score}, 6) AS score '
-        f'FROM {fins[0]} f0 {joins} '
+        f'FROM {fins[0]} f0 {joins}{where} '
         f'ORDER BY score DESC, f0.vec_id LIMIT {k}'
     )
 
@@ -3620,6 +3652,7 @@ LIMIT 10
     sql['dedup_semantic'] = _semantic_dedup_sql(threshold=0.4, n_cells=8, iters=2, dim=64)
     sql['emb_pq_codes'] = _pq_codes_sql(m_sub=4, n_codes=8, iters=1, dim=64)
     sql['emb_pq_topk'] = _pq_topk_sql(m_sub=4, n_codes=8, iters=1, dim=64, k=10)
+    sql['emb_pq_ivf_topk'] = _pq_topk_sql(m_sub=4, n_codes=8, iters=1, dim=64, k=10, nprobe=2)
 
     # Recall@10 of each approximate index vs exact brute force: the three
     # candidate top-10s are the (already-green) per-method oracle queries
