@@ -298,6 +298,12 @@ def main():
     timed('emb_knn_classify',
           lambda: entry.q_emb_knn_classify(spark, sf_dir).agg(
               F.count('*'), F.bit_xor(F.xxhash64('id', 'pred_label', 'votes'))).collect())
+    timed('emb_pq_topk',
+          lambda: entry.q_emb_pq_topk(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('vec_id', 'score'))).collect())
+    timed('emb_pq_ivf_topk',
+          lambda: entry.q_emb_pq_ivf_topk(spark, sf_dir).agg(
+              F.count('*'), F.bit_xor(F.xxhash64('vec_id', 'score'))).collect())
 
     total = round(time.time() - t0, 3)
     print(json.dumps({

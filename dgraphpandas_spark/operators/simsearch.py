@@ -322,30 +322,59 @@ def train_pq_codebooks(
     whole index metadata is ``m_sub·n_codes·d_sub`` doubles (KBs), broadcast
     into every downstream expression as literals.
 
-    Scale shape: each subspace trains on a SLICE projection of the one
-    corpus (column-pruned scan; the slice never shuffles), and each Lloyd
-    round is the same constant-width HashAggregate as the IVF trainer —
-    n_codes × d_sub partial sums per task, never vectors to the driver
-    beyond the codebook itself.  The m_sub trainings run sequentially here
-    (toy scale); at 100 TB persist the sliced+assigned frame once per round
-    and fan the m_sub aggregates out from it — same total shuffle bytes,
-    one corpus scan per round instead of m_sub.
+    Scale shape — ONE corpus pass per Lloyd round for ALL subspaces: the
+    md5-ordered seed rows are shared (the ordering is slice-independent, so
+    one ``n_codes``-row collect seeds every codebook), and each round is a
+    single projection computing every subspace's (cell, sub-vector) — all
+    m_sub × n_codes assignment dots in one codegen span — posexploded to
+    (subspace, cell, v) rows and fed to ONE constant-width HashAggregate
+    keyed (subspace, cell).  Map-side partials mean the exchange carries
+    m_sub·n_codes·d_sub partial sums per task, never vectors; the driver
+    holds one codebook set per round.  Per-round jobs: 1, vs m_sub
+    sequential trainings (the naive shape this replaced — same FLOPs, m_sub
+    corpus scans).  Per-subspace results are identical to independent
+    training: membership, seeds and the 6-dp rounding are all
+    subspace-local; the oracle replays each subspace separately.
     """
     d_sub = dim // m_sub
-    return [
-        train_ivf_centroids(
-            df.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col),
-            ),
-            n_cells=n_codes,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            ndigits=ndigits,
-        )
+    seed_rows = (
+        df.select(F.col(id_col).alias('id'), F.col(vec_col).alias('v'))
+        .orderBy(F.md5(F.col('id').cast('string')), F.col('id'))
+        .limit(n_codes)
+        .collect()
+    )
+    books = [
+        [
+            [round(float(x), ndigits) for x in r['v'][s * d_sub:(s + 1) * d_sub]]
+            for r in seed_rows
+        ]
         for s in range(m_sub)
     ]
+    for _ in range(iters):
+        subs = F.array(*[
+            F.struct(
+                ivf_cell(
+                    F.slice(F.col(vec_col), s * d_sub + 1, d_sub), books[s]
+                ).alias('cell'),
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias('v'),
+            )
+            for s in range(m_sub)
+        ])
+        exploded = df.select(F.posexplode(subs).alias('s', 'sc'))
+        aggs = [
+            F.round(F.avg(F.col('sc.v')[i].cast('double')), ndigits).alias(f'd{i}')
+            for i in range(d_sub)
+        ]
+        rows = exploded.groupBy('s', F.col('sc.cell').alias('cell')).agg(*aggs).collect()
+        new = {
+            (int(r['s']), int(r['cell'])): [float(r[f'd{i}']) for i in range(d_sub)]
+            for r in rows
+        }
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(n_codes)]
+            for s in range(m_sub)
+        ]
+    return books
 
 
 def pq_encode(
