@@ -450,6 +450,41 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Two-stage ANN serving — the production shape: a cheap ADC scan over
+    the compressed codes shortlists ``candidates`` ids (``pq_topk``; at
+    scale that scan never touches raw vectors), then ONLY those rows are
+    re-ranked by exact cosine against the raw corpus.  Exactness of the
+    final top-k is limited only by shortlist recall (measured in
+    ``emb_pq_recall``); the expensive full-precision reads drop from corpus
+    size to ``candidates``.
+
+    Plan: the shortlist (a TakeOrderedAndProject, ≤ ``candidates`` rows) is
+    BROADCAST into an equi-join on id — the raw-vector side never shuffles;
+    with the codes table materialized this is a codes-scan + a
+    ``candidates``-row point lookup against the id-sorted corpus.  Both
+    ranking stages use the usual total order (score DESC, id ASC).
+    """
+    cand = pq_topk(
+        df, query_vec, codebooks, k=candidates, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias('score'))
+        .orderBy(F.desc('score'), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def knn_graph(
     df: DataFrame,
     id_col: str = 'vec_id',

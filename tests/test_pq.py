@@ -12,7 +12,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from dgraphpandas_spark.operators.simsearch import (
+    brute_force_topk,
     pq_encode,
+    pq_rerank_topk,
     pq_topk,
     train_pq_codebooks,
 )
@@ -91,6 +93,23 @@ def test_topk_plan_is_take_ordered(emb, books):
     assert len(rows) == 5
     scores = [r['score'] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rerank_with_full_shortlist_is_exact(emb, books):
+    # shortlist ⊇ corpus ⇒ the re-rank stage must reproduce brute force
+    # exactly (same scores, same total order) — the two-stage serving
+    # path degrades ONLY through shortlist recall, never through scoring
+    q = _vec(1)
+    exact = [(r['vec_id'], r['score']) for r in brute_force_topk(emb, q, k=10).collect()]
+    rerank = [(r['vec_id'], r['score'])
+              for r in pq_rerank_topk(emb, q, books, k=10, candidates=40).collect()]
+    assert rerank == exact
+
+
+def test_rerank_broadcasts_the_shortlist(emb, books):
+    plan = pq_rerank_topk(emb, _vec(0), books, k=3, candidates=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan, plan
 
 
 def test_quantization_recovers_cluster_cohesion(emb, books):
