@@ -1155,6 +1155,17 @@ def q_emb_pq_recall(spark, sf_dir):
     return out
 
 
+def q_emb_pca_project(spark, sf_dir):
+    """End-to-end distributed PCA (simsearch.pca_top_component +
+    pca_project): one constant-width moment aggregate, driver-side power
+    iteration on the 8×8 covariance (8 rounds, engine-replayable
+    quantization), then a zero-exchange projection of every vector onto
+    the top component."""
+    emb = _t(spark, sf_dir, 'embeddings')
+    comp = SS.pca_top_component(emb, k=8, iters=8)
+    return SS.pca_project(emb, comp)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means clusters (2 deterministic
     Lloyd rounds, shared with the trained-IVF quantizer) + within-cluster
@@ -2090,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pq_ivf_topk': q_emb_pq_ivf_topk,
         'emb_pq_rerank_topk': q_emb_pq_rerank_topk,
         'emb_pq_recall': q_emb_pq_recall,
+        'emb_pca_project': q_emb_pca_project,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2100,7 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail; with the ~50-entry cap the first few get a bonus re-check.
     head = [
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
-        'emb_pq_rerank_topk', 'emb_pq_recall',
+        'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -2490,6 +2502,48 @@ def _pq_rerank_sql(m_sub: int = 4, n_codes: int = 8, iters: int = 1,
         f'SELECT e.vec_id, round({cos}, 6) AS score '
         'FROM eb2 e JOIN cand USING (vec_id), q2 '
         f'ORDER BY score DESC, e.vec_id LIMIT {k}'
+    )
+
+
+def _pca_project_sql(k: int = 8, iters: int = 8) -> str:
+    """Distributed-PCA replay (mirrors simsearch.pca_top_component +
+    pca_project): the covariance CTE produces the same 6-dp values as the
+    green emb_covariance oracle; the power iteration is unrolled with the
+    identical left-to-right C·v folds and the identical
+    floor(x/‖w‖·1e6+0.5)/1e6 quantization per round (pure IEEE-double
+    formula — bit-identical to the Python driver loop), so the final
+    component literals embedded in the Spark plan equal this SQL's vfin."""
+    cov_rows = ' UNION ALL '.join(
+        f'SELECT {i} AS i, {j} AS j, '
+        f'round(avg(v[{i + 1}]::DOUBLE * v[{j + 1}]::DOUBLE) '
+        f'- avg(v[{i + 1}]::DOUBLE) * avg(v[{j + 1}]::DOUBLE), 6) AS cov FROM e'
+        for i in range(k) for j in range(i, k)
+    )
+    start = '[' + ', '.join(['1.0'] + ['0.0'] * (k - 1)) + ']'
+    parts = [
+        'e AS (SELECT vec_id, embedding AS v FROM embeddings)',
+        f'cov AS ({cov_rows})',
+        'fullm AS (SELECT i, j, cov FROM cov UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i < j)',
+        'cm AS (SELECT list(cov ORDER BY i, j) AS m FROM fullm)',
+        f'v0 AS (SELECT {start} AS v)',
+    ]
+    prev = 'v0'
+    for t in range(1, iters + 1):
+        parts.append(
+            f'w{t} AS (SELECT list_transform(range({k}), ii -> '
+            f'list_reduce(list_transform(range({k}), jj -> m[ii*{k} + jj + 1] * v[jj + 1]), '
+            f'(x, y) -> x + y)) AS w FROM cm, {prev})'
+        )
+        parts.append(
+            f'v{t} AS (SELECT list_transform(w, x -> '
+            'floor(x / sqrt(list_reduce(list_transform(w, y -> y * y), (a, b) -> a + b)) '
+            f'* 1000000 + 0.5) / 1000000) AS v FROM w{t})'
+        )
+        prev = f'v{t}'
+    proj = _dot_sql(f'e.v[1:{k}]', f'{prev}.v')
+    return (
+        'WITH ' + ', '.join(parts)
+        + f' SELECT e.vec_id, round({proj}, 6) AS pc1 FROM e, {prev}'
     )
 
 
@@ -3733,6 +3787,7 @@ SELECT 'pq_ivf_adc', round(count(*) / 10.0, 6) FROM pqi JOIN brute USING (vec_id
 UNION ALL
 SELECT 'pq_rerank', round(count(*) / 10.0, 6) FROM pqr JOIN brute USING (vec_id)
 """
+    sql['emb_pca_project'] = _pca_project_sql(k=8, iters=8)
 
     # Recall@10 of each approximate index vs exact brute force: the three
     # candidate top-10s are the (already-green) per-method oracle queries

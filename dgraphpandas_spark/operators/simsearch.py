@@ -485,6 +485,70 @@ def pq_rerank_topk(
     )
 
 
+def pca_top_component(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 8,
+    vec_col: str = 'embedding',
+    ndigits: int = 6,
+) -> List[float]:
+    """Top principal component of the first ``k`` embedding dims — the
+    classic distributed-PCA split completed: ONE constant-width moment
+    aggregate over the corpus (``covariance_matrix``; the only
+    corpus-sized stage), then a power iteration on the k×k result
+    entirely driver-side (metadata-scale — k² doubles).
+
+    Fully deterministic and engine-replayable: every iteration computes
+    w = C·v with left-to-right sums, then re-normalizes with the
+    quantization ``floor(x/‖w‖ · 1e6 + 0.5) / 1e6`` — a pure IEEE-double
+    formula the DuckDB oracle replays bit-identically (same trick as the
+    k-means trainers' per-round 6-dp rounding: error cannot propagate
+    between engines).  Start vector e₀; ``iters`` fixed so both engines
+    run the identical unrolled recurrence.
+    """
+    import math
+
+    rows = covariance_matrix(df, vec_col=vec_col, k=k, ndigits=ndigits).collect()
+    cov = [[0.0] * k for _ in range(k)]
+    for r in rows:
+        cov[int(r['i'])][int(r['j'])] = float(r['cov'])
+        cov[int(r['j'])][int(r['i'])] = float(r['cov'])
+    v = [1.0] + [0.0] * (k - 1)
+    for _ in range(iters):
+        w = []
+        for i in range(k):
+            acc = cov[i][0] * v[0]
+            for j in range(1, k):
+                acc = acc + cov[i][j] * v[j]
+            w.append(acc)
+        s = w[0] * w[0]
+        for y in w[1:]:
+            s = s + y * y
+        n = math.sqrt(s)
+        v = [math.floor(x / n * 1_000_000 + 0.5) / 1_000_000 for x in w]
+    return v
+
+
+def pca_project(
+    df: DataFrame,
+    component: Sequence[float],
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    out_col: str = 'pc1',
+) -> DataFrame:
+    """Project every vector onto a (driver-computed) principal component —
+    whitening / dimensionality reduction apply.  Pure projection: the
+    component is a plan literal, so this is one whole-stage-codegen map
+    over the scan with zero exchanges; at 100 TB it composes with any
+    downstream quantizer (project → PQ is OPQ-lite)."""
+    k = len(component)
+    comp = F.array(*[F.lit(float(x)) for x in component])
+    return df.select(
+        F.col(id_col),
+        F.round(dot(F.slice(F.col(vec_col), 1, k), comp), 6).alias(out_col),
+    )
+
+
 def knn_graph(
     df: DataFrame,
     id_col: str = 'vec_id',
