@@ -1978,6 +1978,48 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(new, d, n=3, bands=4, threshold=0.5)
 
 
+def q_stream_ingest_dedup(spark, sf_dir):
+    """Admission-control dedup AT INGEST (streaming/stream.py:
+    stream_ingest_dedup): the SAME synthetic batch as dedup_incremental
+    streams in TWO forced micro-batches (parity parquet files,
+    maxFilesPerTrigger=1) and each trigger is judged against the static
+    corpus LSH index via foreachBatch.  Verdicts are micro-batch-split
+    invariant (each doc is judged only against the static corpus), so the
+    sink is checked by the dedup_incremental ORACLE VERBATIM — streaming
+    ≡ batch through storage."""
+    import tempfile
+
+    from dgraphpandas_spark.streaming.stream import stream_ingest_dedup
+
+    d = _t(spark, sf_dir, 'documents').select('doc_id', 'text')
+    new = (
+        d.filter('doc_id % 5 = 0')
+        .select((F.col('doc_id') + 1_000_000).alias('doc_id'), 'text')
+        .unionByName(
+            d.filter('doc_id % 7 = 3').select(
+                (F.col('doc_id') + 2_000_000).alias('doc_id'),
+                F.concat(F.col('text'), F.lit(' qq ww ee rr tt yy uu ii')).alias('text'),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix='stream_ingest_')
+    indir = os.path.join(tmp, 'in')
+    os.makedirs(indir)
+    for par in (0, 1):
+        new.filter(F.col('doc_id') % 2 == par).coalesce(1).write.mode('append').parquet(indir)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(indir)
+    )
+    out = os.path.join(tmp, 'verdicts')
+    q = stream_ingest_dedup(
+        stream, d, out, os.path.join(tmp, 'ck'), n=3, bands=4, threshold=0.5
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction (intrinsic + edges) on sf0.001."""
     sf_dir = '/root/testdata/sf0.001'
@@ -2102,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pq_rerank_topk': q_emb_pq_rerank_topk,
         'emb_pq_recall': q_emb_pq_recall,
         'emb_pca_project': q_emb_pca_project,
+        'stream_ingest_dedup': q_stream_ingest_dedup,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2113,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
+        'stream_ingest_dedup',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -3436,6 +3480,12 @@ SELECT u.id, b.dup_of, b.jaccard, (b.dup_of IS NULL) AS keep
 FROM (SELECT id FROM newb) u
 LEFT JOIN (SELECT id, dup_of, jaccard FROM best WHERE rn = 1) b USING (id)
 """
+
+    # Streaming ingest dedup is the SAME admission control drained in two
+    # forced micro-batches through a parquet sink — verdicts are
+    # micro-batch-split invariant (each doc judged only against the static
+    # corpus), so the batch oracle checks the sink verbatim.
+    sql['stream_ingest_dedup'] = sql['dedup_incremental']
 
     sql['emb_knn_classify'] = f"""
 WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v0, label FROM embeddings),

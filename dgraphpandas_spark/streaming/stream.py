@@ -115,6 +115,55 @@ def enrich_stream(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+def stream_ingest_dedup(
+    docs_stream: DataFrame,
+    corpus_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+    corpus_buckets: DataFrame = None,
+):
+    """Admission-control dedup AT INGEST: every micro-batch of newly
+    arriving documents is judged against the STATIC corpus LSH index
+    (operators/dedup.py:incremental_dedup) and its verdict rows
+    (id, dup_of, jaccard, keep) are appended to ``output_dir``.
+
+    Micro-batch-split INVARIANT by construction: each document's verdict
+    depends only on the static corpus — never on which trigger carried
+    the document or what else shared its batch (batch-internal dups are
+    out of scope, exactly as in the batch operator) — so the union of all
+    batch outputs equals one batch run over the whole stream, and the
+    driver oracle for the batch operator checks this sink verbatim.
+    Exactly-once through storage: checkpoint + per-batch append of a
+    deterministic transform (a replayed batch rewrites identical rows).
+
+    At 100 TB: ``corpus_buckets`` is the bucket-partitioned index
+    materialized once per corpus wave (``minhash_buckets``) — the stream
+    side is trigger-sized, so the bucket equi-join broadcasts the BATCH
+    under AQE and the corpus index is read partition-pruned; per-trigger
+    cost is O(batch) + candidates, independent of corpus size.
+    """
+    from ..operators.dedup import incremental_dedup, minhash_buckets
+
+    if corpus_buckets is None:
+        corpus_buckets = minhash_buckets(corpus_df, id_col, text_col, n, bands)
+
+    def batch_fn(batch_df: DataFrame, batch_id: int):
+        verdicts = incremental_dedup(
+            batch_df, corpus_df, id_col=id_col, text_col=text_col,
+            n=n, bands=bands, threshold=threshold, max_bucket=max_bucket,
+            corpus_buckets=corpus_buckets,
+        )
+        verdicts.write.mode('append').parquet(output_dir)
+
+    return write_stream_available_now(docs_stream, checkpoint_dir, batch_fn)
+
+
 def stream_materialize(
     triples_stream: DataFrame,
     output_dir: str,
