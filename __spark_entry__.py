@@ -931,6 +931,20 @@ def q_text_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Held-out Stupid-Backoff bigram LM scoring (operators/curation.py:
+    bigram_logprob): the LM trains on doc_id % 5 != 0 and scores the
+    held-out fifth — seen bigrams, unigram-backoff and OOV branches all
+    live.  Integer micro-nat quantization per branch keeps both engines'
+    sums exact."""
+    from dgraphpandas_spark.operators.curation import bigram_logprob
+
+    d = _t(spark, sf_dir, 'documents')
+    return bigram_logprob(
+        d.filter('doc_id % 5 = 0'), train_df=d.filter('doc_id % 5 <> 0')
+    ).select(F.col('id').alias('doc_id'), 'n_bigrams', 'avg_logprob')
+
+
 def q_events_sessionize(spark, sf_dir):
     """Batch sessionization (gap = 1800 s) of the event log, rolled up to
     per-session stats — the batch twin of stream_stateful_sessions.  One
@@ -2145,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pq_recall': q_emb_pq_recall,
         'emb_pca_project': q_emb_pca_project,
         'stream_ingest_dedup': q_stream_ingest_dedup,
+        'text_bigram_logprob': q_text_bigram_logprob,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2156,7 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
-        'stream_ingest_dedup',
+        'stream_ingest_dedup', 'text_bigram_logprob',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -3536,6 +3551,43 @@ SELECT t.doc_id, count(*) AS n_tokens,
        round((CAST(sum(lp.lp_micro) AS DOUBLE) / count(*)) / 1000000, 6) AS avg_logprob
 FROM t JOIN lp ON t.token = lp.token
 GROUP BY 1
+"""
+
+    # Stupid-Backoff bigram LM, held-out split (mirrors curation.py:
+    # bigram_logprob): every branch quantized to BIGINT micro-nats in
+    # engine; bigrams via the same struct-list transform as collocations.
+    _AM = 'CAST(round(ln(0.4) * 1000000) AS BIGINT)'
+    _BGU = (
+        "unnest(CASE WHEN len(t) < 2 THEN [] ELSE list_transform("
+        "range(1, len(t)), i -> {'w1': t[i], 'w2': t[i + 1]}) END) AS u(s)"
+    )
+    sql['text_bigram_logprob'] = f"""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+trt AS (SELECT u.tok AS w FROM tr, unnest({toks_v}) AS u(tok) WHERE u.tok <> ''),
+uni AS (SELECT w, count(*) AS c FROM trt GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+trbg AS (SELECT s['w1'] AS w1, s['w2'] AS w2
+         FROM (SELECT {toks_v} AS t FROM tr) x, {_BGU}
+         WHERE s['w1'] <> '' AND s['w2'] <> ''),
+bc AS (SELECT w1, w2, count(*) AS cb FROM trbg GROUP BY 1, 2),
+dbg AS (SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2
+        FROM (SELECT doc_id, {toks_v} AS t FROM sc) x, {_BGU}
+        WHERE s['w1'] <> '' AND s['w2'] <> ''),
+lp AS (SELECT d.doc_id,
+       CASE WHEN bc.cb IS NOT NULL
+              THEN CAST(round(ln(bc.cb::double / u1.c) * 1000000) AS BIGINT)
+            WHEN u2.c IS NOT NULL
+              THEN {_AM} + CAST(round(ln(u2.c::double / (SELECT total FROM tot)) * 1000000) AS BIGINT)
+            ELSE {_AM} + CAST(round(ln(1.0 / (SELECT total FROM tot)) * 1000000) AS BIGINT)
+       END AS lp_micro
+       FROM dbg d
+       LEFT JOIN bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
+       LEFT JOIN uni u1 ON d.w1 = u1.w
+       LEFT JOIN uni u2 ON d.w2 = u2.w)
+SELECT doc_id, count(*) AS n_bigrams,
+       round((CAST(sum(lp_micro) AS DOUBLE) / count(*)) / 1000000, 6) AS avg_logprob
+FROM lp GROUP BY 1
 """
 
     # floor(epoch(ts)) mirrors Spark unix_timestamp's seconds truncation

@@ -710,6 +710,96 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    train_df: DataFrame = None,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007) — the
+    perplexity-filter upgrade of ``unigram_logprob``: each document's
+    adjacent-token pairs score ln(c(w1 w2)/c(w1)) when the bigram was seen
+    in TRAINING, backing off to ln(alpha) + ln(c(w2)/total) for unseen
+    bigrams and to ln(alpha) + ln(1/total) for OOV continuations.
+    ``train_df`` defaults to ``df`` (self-scored — every bigram then hits
+    the first branch); pass a train split to score held-out text, the
+    CCNet-style quality-filter setup.
+
+    Numeric determinism: the same integer micro-nat trick as
+    ``unigram_logprob`` — every branch quantizes its ln terms to BIGINT
+    micro-nats (the backoff adds two quantized terms; ln(alpha) itself is
+    quantized in-engine) before the per-doc sum, so partial-aggregation
+    order cannot flip a digit; only the final average divides (6 dp).
+
+    Physical shape: bigram extraction is the same pure array ``transform``
+    as ``collocations`` (no posexplode self-join); TWO train-side
+    HashAggregates (bigram + unigram counts, map-side combined); the
+    vocabulary-sized LM tables join back broadcast while they fit (at
+    trillion-token scale drop the broadcast hints — AQE plans the
+    sort-merge); one regroup on the doc id.  Returns
+    DataFrame[id, n_bigrams, avg_logprob] — docs with < 2 non-empty
+    tokens have no bigrams and no row.
+    """
+    from ..functions.text import tokens
+
+    if train_df is None:
+        train_df = df
+
+    def _bigrams(frame, with_id):
+        cols = [F.col(id_col).alias('id')] if with_id else []
+        keep = ['id'] if with_id else []
+        t = frame.select(*cols, tokens(F.col(text_col)).alias('t'))
+        return (
+            t.filter(F.size('t') >= 2)
+            .select(*keep, F.explode(F.expr(
+                'transform(sequence(0, size(t) - 2),'
+                ' i -> struct(t[i] AS w1, t[i + 1] AS w2))'
+            )).alias('bg'))
+            .select(*keep, 'bg.w1', 'bg.w2')
+            .filter((F.col('w1') != '') & (F.col('w2') != ''))
+        )
+
+    bc = _bigrams(train_df, False).groupBy('w1', 'w2').agg(F.count('*').alias('cb'))
+    uni = (
+        train_df.select(F.explode(tokens(F.col(text_col))).alias('w'))
+        .filter(F.col('w') != '')
+        .groupBy('w')
+        .agg(F.count('*').alias('c'))
+    )
+    total = uni.agg(F.sum('c').alias('total'))
+    alpha_micro = F.round(F.log(F.lit(float(alpha))) * 1e6, 0).cast('long')
+    scored = (
+        _bigrams(df, True)
+        .join(F.broadcast(bc), ['w1', 'w2'], 'left')
+        .join(F.broadcast(uni.select(F.col('w').alias('w1'),
+                                     F.col('c').alias('cu1'))), 'w1', 'left')
+        .join(F.broadcast(uni.select(F.col('w').alias('w2'),
+                                     F.col('c').alias('cu2'))), 'w2', 'left')
+        .crossJoin(F.broadcast(total))
+        .select(
+            'id',
+            F.when(
+                F.col('cb').isNotNull(),
+                F.round(F.log(F.col('cb').cast('double') / F.col('cu1')) * 1e6, 0)
+                .cast('long'),
+            ).when(
+                F.col('cu2').isNotNull(),
+                alpha_micro
+                + F.round(F.log(F.col('cu2').cast('double') / F.col('total')) * 1e6, 0)
+                .cast('long'),
+            ).otherwise(
+                alpha_micro
+                + F.round(F.log(F.lit(1.0) / F.col('total')) * 1e6, 0).cast('long')
+            ).alias('lp_micro'),
+        )
+    )
+    return scored.groupBy('id').agg(
+        F.count('*').alias('n_bigrams'),
+        F.round((F.sum('lp_micro') / F.count('*')) / 1e6, 6).alias('avg_logprob'),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = 'text',

@@ -61,3 +61,45 @@ def test_chunk_documents_short_doc_single_window(spark):
     docs = spark.createDataFrame([(1, 'x y')], 'doc_id int, text string')
     got = chunk_documents(docs, size=8, stride=6).collect()
     assert len(got) == 1 and got[0]['chunk_text'] == 'x y'
+
+
+def test_bigram_logprob_self_scored_closed_form(spark):
+    from dgraphpandas_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, 'a b a b'), (2, 'a b c')], 'doc_id int, text string'
+    )
+    # train == score: bigram counts ab=3, ba=1, bc=1; unigram a=3, b=3, c=1
+    out = {r['id']: (r['n_bigrams'], r['avg_logprob'])
+           for r in bigram_logprob(docs).collect()}
+
+    def micro(x):
+        return float(round(math.log(x) * 1e6))
+
+    # doc 1: ab, ba, ab → (2·ln(3/3) + ln(1/3)) / 3
+    exp1 = round((2 * micro(3 / 3) + micro(1 / 3)) / 3 / 1e6, 6)
+    # doc 2: ab, bc → (ln(3/3) + ln(1/3)) / 2
+    exp2 = round((micro(3 / 3) + micro(1 / 3)) / 2 / 1e6, 6)
+    assert out == {1: (3, exp1), 2: (2, exp2)}
+
+
+def test_bigram_logprob_backoff_branches(spark):
+    from dgraphpandas_spark.operators.curation import bigram_logprob
+
+    train = spark.createDataFrame([(1, 'a b a b'), (2, 'b c')],
+                                  'doc_id int, text string')
+    held = spark.createDataFrame([(10, 'a c'), (11, 'a zzz')],
+                                 'doc_id int, text string')
+    out = {r['id']: (r['n_bigrams'], r['avg_logprob'])
+           for r in bigram_logprob(held, train_df=train).collect()}
+    # train: bigrams ab=2, ba=1, bc=1; unigrams a=2, b=3, c=1; total=6
+    am = float(round(math.log(0.4) * 1e6))
+
+    def micro(x):
+        return float(round(math.log(x) * 1e6))
+
+    # doc 10: bigram 'a c' unseen, c in vocab → ln(0.4) + ln(1/6)
+    exp10 = round((am + micro(1 / 6)) / 1 / 1e6, 6)
+    # doc 11: 'a zzz' unseen, zzz OOV → ln(0.4) + ln(1/6)  (floor = 1/total)
+    exp11 = round((am + micro(1 / 6)) / 1 / 1e6, 6)
+    assert out == {10: (1, exp10), 11: (1, exp11)}
