@@ -945,6 +945,21 @@ def q_text_bigram_logprob(spark, sf_dir):
     ).select(F.col('id').alias('doc_id'), 'n_bigrams', 'avg_logprob')
 
 
+def q_corpus_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/curation.py:cap_per_source) —
+    C4/RefinedWeb source balancing: top-10 docs per source by the
+    deterministic quality heuristic, one audit row per input doc (kept
+    boolean, never a silent drop).  One exchange keyed on source, one
+    row_number window."""
+    from dgraphpandas_spark.operators.curation import cap_per_source
+
+    d = _t(spark, sf_dir, 'documents')
+    return cap_per_source(d, max_per_source=10).select(
+        F.col('id').alias('doc_id'), 'source', 'quality',
+        F.col('rank').cast('long').alias('rank'), 'kept',
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Batch sessionization (gap = 1800 s) of the event log, rolled up to
     per-session stats — the batch twin of stream_stateful_sessions.  One
@@ -2160,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pca_project': q_emb_pca_project,
         'stream_ingest_dedup': q_stream_ingest_dedup,
         'text_bigram_logprob': q_text_bigram_logprob,
+        'corpus_source_cap': q_corpus_source_cap,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2171,7 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = [
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
-        'stream_ingest_dedup', 'text_bigram_logprob',
+        'stream_ingest_dedup', 'text_bigram_logprob', 'corpus_source_cap',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -3588,6 +3604,16 @@ lp AS (SELECT d.doc_id,
 SELECT doc_id, count(*) AS n_bigrams,
        round((CAST(sum(lp_micro) AS DOUBLE) / count(*)) / 1000000, 6) AS avg_logprob
 FROM lp GROUP BY 1
+"""
+
+    # Per-source cap (mirrors curation.cap_per_source): quality is the
+    # shared _quality_sql heuristic, rank the same total order.
+    sql['corpus_source_cap'] = f"""
+WITH q AS (SELECT doc_id, source, {_quality_sql()} AS quality FROM documents)
+SELECT doc_id, source, quality,
+       row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank,
+       (row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)) <= 10 AS kept
+FROM q
 """
 
     # floor(epoch(ts)) mirrors Spark unix_timestamp's seconds truncation

@@ -800,6 +800,48 @@ def bigram_logprob(
     )
 
 
+def cap_per_source(
+    df: DataFrame,
+    max_per_source: int = 100,
+    source_col: str = 'source',
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+) -> DataFrame:
+    """Per-source document cap — the C4/RefinedWeb-style source-balancing
+    step: within every source (domain), documents rank by quality
+    (``functions.text.quality_score`` DESC, id ASC — a total order) and
+    only the top ``max_per_source`` are kept, so no single domain
+    dominates the training mix.  Returns one AUDIT row per input document
+    — DataFrame[id, source, quality, rank, kept] — never a silent drop
+    (the repo's no-silent-caps rule); filter on ``kept`` for the surviving
+    corpus.
+
+    Physical shape: quality is a pure expression (computed once, before
+    the exchange), then ONE shuffle keyed on source for a single
+    row_number window — no join, no second pass.  Skew note for 100 TB: a
+    mega-source's partition is one window task; AQE cannot split a
+    window, so for web-crawl distributions pre-aggregate a per-source
+    quality threshold at the target rank (approx_percentile) and filter
+    BEFORE the exact window — the standard two-stage top-k-per-heavy-key
+    rewrite; at ``max_per_source`` ≪ source size the pre-filter discards
+    almost everything cheaply.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+
+    scored = df.select(
+        F.col(id_col).alias('id'),
+        F.col(source_col).alias('source'),
+        quality_score(F.col(text_col)).alias('quality'),
+    )
+    w = Window.partitionBy('source').orderBy(F.desc('quality'), F.asc('id'))
+    return scored.withColumn('rank', F.row_number().over(w)).select(
+        'id', 'source', 'quality', 'rank',
+        (F.col('rank') <= max_per_source).alias('kept'),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = 'text',

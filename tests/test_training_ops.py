@@ -1198,3 +1198,25 @@ def test_incremental_dedup_batch_cost_independent_of_corpus(spark, docs):
     wrong = matched.filter('dup_of <> id - 1000000 AND jaccard >= 0.999999').count()
     assert wrong == 0
     assert matched.count() >= int(0.9 * new.count())
+
+
+def test_cap_per_source_audit_and_total_order(spark):
+    from dgraphpandas_spark.operators.curation import cap_per_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'srcA', 'the quick brown fox jumps over the lazy dog and runs'),
+            (2, 'srcA', 'zz'),
+            (3, 'srcA', 'a good long sentence with many common the and of words here'),
+            (4, 'srcB', 'another fine document with the usual words in it'),
+        ],
+        'doc_id long, source string, text string',
+    )
+    out = {r['id']: r for r in cap_per_source(docs, max_per_source=2).collect()}
+    assert len(out) == 4                      # one audit row per input doc
+    assert sorted(r['rank'] for r in out.values() if r['source'] == 'srcA') == [1, 2, 3]
+    dropped = [i for i, r in out.items() if not r['kept']]
+    assert len(dropped) == 1 and out[dropped[0]]['rank'] == 3
+    # the dropped doc is the lowest-quality one in the over-cap source
+    sa = [r for r in out.values() if r['source'] == 'srcB']
+    assert all(r['kept'] and r['rank'] == 1 for r in sa)
