@@ -52,6 +52,12 @@ def split_corpus(
 
     ``weights``: integer percents summing to 100, in insertion order
     (default ``{'train': 98, 'val': 1, 'test': 1}``).
+
+    Group-aware (leakage-safe) splitting: pass the GROUP key as
+    ``id_col`` — e.g. ``id_col='source'`` — and every member of a group
+    lands in the same split, so near-duplicates that share a domain can
+    never straddle train/test (the GroupShuffleSplit semantics, still
+    zero-shuffle).
     """
     weights = weights or {'train': 98, 'val': 1, 'test': 1}
     if sum(weights.values()) != 100:
