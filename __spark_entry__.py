@@ -1366,6 +1366,17 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_conv_tool_edges(spark, sf_dir), iters=3, damping=0.85)
 
 
+def q_kg_lpa_communities(spark, sf_dir):
+    """Deterministic label-propagation communities
+    (operators/graph.py:label_propagation) over the conversation↔tool
+    graph: 3 unrolled rounds, plurality-with-self-vote, min-label ties —
+    all-integer/string recurrence, so the oracle replays it with no
+    quantization at all."""
+    from dgraphpandas_spark.operators.graph import label_propagation
+
+    return label_propagation(_conv_tool_edges(spark, sf_dir), iters=3)
+
+
 def q_kg_pagerank_weighted(spark, sf_dir):
     """Personalized weighted PageRank (operators/graph.py:
     pagerank_weighted) over the tool co-usage projection: rank mass
@@ -2176,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'stream_ingest_dedup': q_stream_ingest_dedup,
         'text_bigram_logprob': q_text_bigram_logprob,
         'corpus_source_cap': q_corpus_source_cap,
+        'kg_lpa_communities': q_kg_lpa_communities,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2188,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
         'stream_ingest_dedup', 'text_bigram_logprob', 'corpus_source_cap',
+        'kg_lpa_communities',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -2956,6 +2969,29 @@ pairs AS (SELECT DISTINCT 'u' || user_id AS conv, 'tool_' || event_type AS tool
 e AS (SELECT conv AS src, tool AS dst FROM pairs
       UNION ALL SELECT tool AS src, conv AS dst FROM pairs)"""
     sql['kg_pagerank'] = _pagerank_sql(_PR_EDGES, iters=3, damping=0.85)
+
+    # LPA communities: same edge CTE, 3 unrolled plurality-with-self-vote
+    # rounds (mirrors graph.label_propagation — integer/string only).
+    _lpa_parts = [
+        _PR_EDGES.strip(),
+        'und AS (SELECT DISTINCT a, b FROM '
+        '(SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e))',
+        'nodes AS (SELECT DISTINCT a AS id FROM und)',
+        'voters AS (SELECT a, b FROM und UNION SELECT id AS a, id AS b FROM nodes)',
+        'l0 AS (SELECT id, id AS label FROM nodes)',
+    ]
+    for _r in range(1, 4):
+        _lpa_parts.append(
+            f'c{_r} AS (SELECT v.a AS id, l.label, count(*) AS c '
+            f'FROM voters v JOIN l{_r - 1} l ON v.b = l.id GROUP BY 1, 2)'
+        )
+        _lpa_parts.append(
+            f'l{_r} AS (SELECT id, label FROM (SELECT id, label, row_number() OVER ('
+            f'PARTITION BY id ORDER BY c DESC, label) AS rn FROM c{_r}) WHERE rn = 1)'
+        )
+    sql['kg_lpa_communities'] = (
+        'WITH ' + ', '.join(_lpa_parts) + ' SELECT id, label FROM l3'
+    )
 
     # weighted/personalized: over the co-occurrence projection, restart
     # mass proportional to node strength (integer-exact normalization)

@@ -223,6 +223,65 @@ def pagerank_weighted(
     return pr
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = 'src',
+    dst: str = 'dst',
+    iters: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007) made
+    fully deterministic: every node starts labeled with its own id; each
+    round every node adopts the plurality label over its neighbors PLUS
+    ITSELF (the self-vote damps the label-swapping oscillation pure
+    synchronous LPA exhibits on bipartite graphs), ties broken by
+    minimum label; ``iters`` is fixed (no convergence test) so both
+    engines run the identical unrolled recurrence.  Returns
+    DataFrame[id, label].
+
+    All-integer/string arithmetic — counts and lexicographic min only,
+    no floats — so the DuckDB oracle needs no quantization at all: the
+    recurrence is exactly replayable by construction.
+
+    Scale shape: the (symmetrized, distinct) adjacency is checkpointed
+    once; per round ONE shuffle-join of labels against the adjacency
+    (key + label rows only — payloads never move), ONE (node, label)
+    HashAggregate with map-side combine, and one row_number window per
+    node.  Hub skew lands in the join and the window the same way it
+    does for pagerank — AQE splits the join; the per-node candidate
+    label set is bounded by degree.
+    """
+    from pyspark.sql import Window
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = (
+        edges.select(F.col(src).alias('a'), F.col(dst).alias('b'))
+        .unionByName(edges.select(F.col(dst).alias('a'), F.col(src).alias('b')))
+        .distinct()
+    )
+    nodes = und.select(F.col('a').alias('id')).distinct()
+    voters = ckpt(
+        und.unionByName(nodes.select(F.col('id').alias('a'), F.col('id').alias('b')))
+        .distinct()
+    )
+    labels = nodes.select('id', F.col('id').alias('label'))
+    w = Window.partitionBy('id').orderBy(F.desc('c'), F.asc('label'))
+    for _ in range(iters):
+        votes = (
+            voters.join(labels.select(F.col('id').alias('b'), 'label'), 'b')
+            .select(F.col('a').alias('id'), 'label')
+            .groupBy('id', 'label')
+            .agg(F.count('*').alias('c'))
+        )
+        labels = (
+            votes.withColumn('rn', F.row_number().over(w))
+            .filter(F.col('rn') == 1)
+            .select('id', 'label')
+        )
+        labels = ckpt(labels, eager=False)
+    return labels
+
+
 def k_hop(
     edges: DataFrame,
     seeds: DataFrame,

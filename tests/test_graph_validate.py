@@ -149,3 +149,23 @@ def test_pagerank_reliable_checkpoint_dir_identical(spark, tmp_path):
     kh_rel = sorted(map(tuple, k_hop(edges, seeds, k=2,
                                      checkpoint_dir=str(tmp_path / 'ck2')).collect()))
     assert kh_local == kh_rel
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    from dgraphpandas_spark.operators.graph import label_propagation
+
+    # two dense cliques bridged by one weak edge
+    c1 = [f'a{i}' for i in range(5)]
+    c2 = [f'b{i}' for i in range(5)]
+    edges = [(x, y) for i, x in enumerate(c1) for y in c1[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(c2) for y in c2[i + 1:]]
+    edges.append(('a0', 'b0'))
+    df = spark.createDataFrame(edges, 'src string, dst string')
+    out = {r['id']: r['label'] for r in label_propagation(df, iters=3).collect()}
+    assert len(out) == 10
+    l1 = {out[x] for x in c1}
+    l2 = {out[x] for x in c2}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2   # one label per clique
+    # determinism
+    again = {r['id']: r['label'] for r in label_propagation(df, iters=3).collect()}
+    assert again == out
