@@ -960,6 +960,16 @@ def q_corpus_source_cap(spark, sf_dir):
     )
 
 
+def q_corpus_health(spark, sf_dir):
+    """One-row corpus health panel (operators/curation.py:corpus_health):
+    doc/token totals, exact-dup rate in integer ppm, dominant language +
+    share, mean quality (micro-quantized sum).  One constant-width
+    aggregate + a language top-1 broadcast back."""
+    from dgraphpandas_spark.operators.curation import corpus_health
+
+    return corpus_health(_t(spark, sf_dir, 'documents'))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Batch sessionization (gap = 1800 s) of the event log, rolled up to
     per-session stats — the batch twin of stream_stateful_sessions.  One
@@ -2188,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_bigram_logprob': q_text_bigram_logprob,
         'corpus_source_cap': q_corpus_source_cap,
         'kg_lpa_communities': q_kg_lpa_communities,
+        'corpus_health': q_corpus_health,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2200,7 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
         'stream_ingest_dedup', 'text_bigram_logprob', 'corpus_source_cap',
-        'kg_lpa_communities',
+        'kg_lpa_communities', 'corpus_health',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -3650,6 +3661,25 @@ SELECT doc_id, source, quality,
        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank,
        (row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)) <= 10 AS kept
 FROM q
+"""
+
+    # Corpus health rollup (mirrors curation.corpus_health): quality
+    # micro-quantized per doc before the sum, rates in integer ppm.
+    _norm_v = _NORM.format(col='text')
+    sql['corpus_health'] = f"""
+WITH s AS (SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks_v}) END) AS BIGINT) AS n_tokens,
+       count(DISTINCT md5({_norm_v})) AS n_distinct,
+       CAST(sum(CAST(round({_quality_sql()} * 1000000) AS BIGINT)) AS BIGINT) AS q_micro
+   FROM documents),
+l AS (SELECT {_lang_sql()} AS lang FROM documents),
+tl AS (SELECT lang, count(*) AS c FROM l GROUP BY 1 ORDER BY c DESC, lang LIMIT 1)
+SELECT n_docs, n_tokens,
+       CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       lang AS top_lang,
+       CAST(c * 1000000 // n_docs AS BIGINT) AS top_lang_ppm,
+       round((q_micro::DOUBLE / n_docs) / 1000000, 6) AS avg_quality
+FROM s, tl
 """
 
     # floor(epoch(ts)) mirrors Spark unix_timestamp's seconds truncation

@@ -848,6 +848,61 @@ def cap_per_source(
     )
 
 
+def corpus_health(
+    df: DataFrame,
+    text_col: str = 'text',
+    exact: bool = True,
+) -> DataFrame:
+    """One-row corpus health panel — the monitoring rollup an ingestion
+    pipeline runs per wave: document and token totals, exact-duplicate
+    rate (distinct content fingerprints vs docs, in integer ppm), the
+    dominant detected language with its share, and mean quality.
+    Returns DataFrame[n_docs, n_tokens, dup_ppm, top_lang, top_lang_ppm,
+    avg_quality].
+
+    Determinism: per-doc quality is quantized to integer micro-units
+    BEFORE summation (float partial-aggregation order differs between
+    engines; integer sums are order-free — the unigram_logprob trick);
+    rates are integer ppm via DIV.  Language argmax ties break
+    alphabetically (the ``lang_id`` total order), doc counts make the
+    top-language pick exact.
+
+    Physical shape: one constant-width aggregate over the corpus (count
+    + two integer sums + a fingerprint count-distinct) plus a
+    language-keyed aggregate reduced to its top row (TakeOrdered, ≤
+    #langs rows) broadcast back onto the 1-row stats frame.  The exact
+    ``count_distinct`` is a full shuffle of distinct fingerprints — at
+    100 TB pass ``exact=False`` for HLL ``approx_count_distinct`` (the
+    ``events_cardinality`` trade; dup_ppm then carries ~2% relative
+    error and the oracle check no longer applies).
+    """
+    from ..functions.text import fingerprint, lang_id, quality_score, token_count
+
+    cd = (F.count_distinct if exact else F.approx_count_distinct)
+    stats = df.agg(
+        F.count('*').alias('n_docs'),
+        F.sum(token_count(F.col(text_col)).cast('long')).alias('n_tokens'),
+        cd(fingerprint(F.col(text_col))).alias('n_distinct'),
+        F.sum(F.round(quality_score(F.col(text_col)) * 1e6, 0).cast('long'))
+        .alias('q_micro'),
+    )
+    top_lang = (
+        df.select(lang_id(F.col(text_col)).alias('lang'))
+        .groupBy('lang')
+        .agg(F.count('*').alias('c'))
+        .orderBy(F.desc('c'), F.asc('lang'))
+        .limit(1)
+    )
+    return stats.crossJoin(F.broadcast(top_lang)).select(
+        'n_docs',
+        'n_tokens',
+        F.expr('(n_docs - n_distinct) * 1000000 DIV n_docs').cast('long').alias('dup_ppm'),
+        F.col('lang').alias('top_lang'),
+        F.expr('c * 1000000 DIV n_docs').cast('long').alias('top_lang_ppm'),
+        F.round((F.col('q_micro') / F.col('n_docs')) / 1e6, 6).alias('avg_quality'),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = 'text',

@@ -1220,3 +1220,26 @@ def test_cap_per_source_audit_and_total_order(spark):
     # the dropped doc is the lowest-quality one in the over-cap source
     sa = [r for r in out.values() if r['source'] == 'srcB']
     assert all(r['kept'] and r['rank'] == 1 for r in sa)
+
+
+def test_corpus_health_closed_form(spark):
+    from dgraphpandas_spark.operators.curation import corpus_health
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'the quick brown fox and the lazy dog'),
+            (2, 'the quick brown fox and the lazy dog'),   # exact dup of 1
+            (3, 'ein ganz anderes deutsches dokument und noch mehr'),
+            (4, ''),
+        ],
+        'doc_id long, text string',
+    )
+    r = corpus_health(docs).collect()[0]
+    assert r['n_docs'] == 4
+    assert r['n_tokens'] == 8 + 8 + 8 + 0
+    assert r['dup_ppm'] == (4 - 3) * 1_000_000 // 4        # one dup pair
+    assert r['top_lang_ppm'] >= 250_000
+    assert 0.0 <= r['avg_quality'] <= 1.0
+    # approx variant returns the same shape (values may differ on dup_ppm)
+    ra = corpus_health(docs, exact=False).collect()[0]
+    assert set(r.asDict()) == set(ra.asDict())
