@@ -960,6 +960,28 @@ def q_corpus_source_cap(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment pairs (operators/dedup.py:
+    containment_pairs) over the corpus augmented with planted partial
+    copies: every 10th doc re-enters truncated to its first half
+    (id + 3,000,000) — the winnowing-fingerprint join must report the
+    truncations as contained in their sources at high ppm.  Directed
+    hash equi-join, hot-hash guard, integer-ppm ratio."""
+    from dgraphpandas_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, 'documents').select('doc_id', 'text')
+    aug = d.unionByName(
+        d.filter('doc_id % 10 = 0').select(
+            (F.col('doc_id') + 3_000_000).alias('doc_id'),
+            F.expr('substring(text, 1, length(text) DIV 2)').alias('text'),
+        )
+    )
+    # 5-gram winnowing + tight hot guard: common 3-grams recur across
+    # hundreds of synthetic docs and blow the shared-fp join fan-out;
+    # 5-grams are document-discriminative, the 100-TB-honest setting
+    return containment_pairs(aug, k=5, w=4, threshold_ppm=600_000, max_df=200)
+
+
 def q_corpus_health(spark, sf_dir):
     """One-row corpus health panel (operators/curation.py:corpus_health):
     doc/token totals, exact-dup rate in integer ppm, dominant language +
@@ -2199,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_source_cap': q_corpus_source_cap,
         'kg_lpa_communities': q_kg_lpa_communities,
         'corpus_health': q_corpus_health,
+        'dedup_containment': q_dedup_containment,
     }
     # Round-5 rotation (VERDICT r4 items #1/#7): the two NEW round-5
     # queries and the two r4-red queries go first (the red pair's HUGEINT
@@ -2211,7 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'emb_pq_codes', 'emb_pq_topk', 'emb_pq_ivf_topk',
         'emb_pq_rerank_topk', 'emb_pq_recall', 'emb_pca_project',
         'stream_ingest_dedup', 'text_bigram_logprob', 'corpus_source_cap',
-        'kg_lpa_communities', 'corpus_health',
+        'kg_lpa_communities', 'corpus_health', 'dedup_containment',
         'corpus_tfidf_topk', 'corpus_shard',
         'corpus_collocations', 'emb_knn_classify', 'dedup_incremental',
         'emb_knn_graph_hot', 'corpus_bpe_encode_trie',
@@ -3907,6 +3930,36 @@ w AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
       ELSE list_transform(range(1, len(hs) - 2),
            i -> list_min(list_slice(hs, i, i + 3))) END AS wins FROM h)
 SELECT doc_id, u.fp FROM w, unnest(list_distinct(wins)) AS u(fp)
+"""
+
+    # Containment pairs (mirrors dedup.containment_pairs): winnowing
+    # fingerprints of the augmented corpus (planted half-truncations),
+    # hot-hash guard, directed shared-fp join, integer-ppm ratio.
+    sql['dedup_containment'] = f"""
+WITH aug AS (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 3000000 AS doc_id, substring(text, 1, length(text) // 2) AS text
+             FROM documents WHERE doc_id % 10 = 0),
+t2 AS (SELECT doc_id, {toks_w} AS t FROM aug),
+g2 AS (SELECT doc_id, CASE WHEN len(t) < 5 THEN []
+       ELSE list_transform(range(1, len(t) - 3),
+            i -> array_to_string(list_slice(t, i, i + 4), ' ')) END AS grams FROM t2),
+h2 AS (SELECT doc_id, list_transform(grams,
+            g -> ('0x' || substr(md5(g), 1, 15))::bigint) AS hs FROM g2),
+w2 AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+       WHEN len(hs) < 4 THEN [list_min(hs)]
+       ELSE list_transform(range(1, len(hs) - 2),
+            i -> list_min(list_slice(hs, i, i + 3))) END AS wins FROM h2),
+fpx AS (SELECT doc_id AS id, u.fp FROM w2, unnest(list_distinct(wins)) AS u(fp)),
+ok AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 200),
+kept AS (SELECT id, fp FROM fpx JOIN ok USING (fp)),
+sizes AS (SELECT id, count(*) AS n FROM kept GROUP BY 1),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+           FROM kept a JOIN kept b USING (fp) WHERE a.id <> b.id GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, s.shared, z.n AS n_a,
+       CAST(s.shared * 1000000 // z.n AS BIGINT) AS containment_ppm
+FROM shared s JOIN sizes z ON s.id_a = z.id
+WHERE s.shared * 1000000 // z.n >= 600000
 """
 
     # CAST(sum AS BIGINT): DuckDB sum(int) yields HUGEINT, which fetchdf()

@@ -110,26 +110,34 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     whole-stage codegen), and replayable verbatim in DuckDB oracles.
     Docs shorter than k tokens fingerprint to an empty set; shorter than
     k+w−1 grams use the global minimum (one window).
+
+    Performance note (round 5): sliding windows are built from SHIFTED
+    SLICES combined with ``zip_with`` — never ``transform(sequence(...),
+    i -> f(expensive_array, i))``.  A lambda-captured array is
+    re-evaluated per element (no CSE across lambda invocations), which
+    made the original formulation O(n²) in regex/md5 work per document;
+    as zip_with ARGUMENTS each array is evaluated once, keeping the whole
+    fingerprint O(n·k) per row.  Output is bit-identical.
     """
     toks = tokens(text)
-    grams = F.when(F.size(toks) < k, F.array().cast('array<string>')).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), ' '),
-        )
-    )
+    m = F.size(toks) - F.lit(k - 1)
+    gram = F.slice(toks, 1, m)
+    for j in range(1, k):
+        gram = F.zip_with(gram, F.slice(toks, j + 1, m),
+                          lambda x, y: F.concat(x, F.lit(' '), y))
+    grams = F.when(F.size(toks) < k, F.array().cast('array<string>')).otherwise(gram)
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast('long')
     )
+    m2 = F.size(hashes) - F.lit(w - 1)
+    win = F.slice(hashes, 1, m2)
+    for j in range(1, w):
+        win = F.zip_with(win, F.slice(hashes, j + 1, m2),
+                         lambda x, y: F.least(x, y))
     wins = (
         F.when(F.size(hashes) == 0, F.array().cast('array<long>'))
         .when(F.size(hashes) < w, F.array(F.array_min(hashes)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)),
-                lambda i: F.array_min(F.slice(hashes, i, w)),
-            )
-        )
+        .otherwise(win)
     )
     return F.array_distinct(wins)
 

@@ -683,6 +683,62 @@ def dup_spans(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 3,
+    w: int = 4,
+    threshold_ppm: int = 500_000,
+    max_df: int = 1_000,
+) -> DataFrame:
+    """Asymmetric containment detection — the partial-copy complement to
+    symmetric Jaccard dedup (Lee et al. 2021 measure both): doc A is
+    CONTAINED in doc B when most of A's winnowing fingerprints
+    (``functions.text.winnow_fingerprints`` — position-robust MOSS
+    scheme) also appear in B, catching quotes, boilerplate wrappers and
+    truncated copies that whole-doc similarity misses.  Returns DIRECTED
+    DataFrame[id_a, id_b, shared, n_a, containment_ppm] with
+    containment_ppm = |fp(A) ∩ fp(B)| · 1e6 DIV |fp(A)| ≥
+    ``threshold_ppm`` (integer ppm — engine-portable, no float ratio).
+
+    Scale shape: fingerprints explode to (id, fp) rows; hashes shared by
+    more than ``max_df`` docs are dropped FIRST (the stopword-gram hot
+    guard of ``ngram_jaccard_dedup``, audited by the denominator: ``n_a``
+    counts RETAINED fingerprints, so the ratio stays consistent); the
+    candidate generator is one equi-join on the 60-bit hash (never
+    all-pairs, per-hash fan-out ≤ max_df²) into one (id_a, id_b)
+    HashAggregate; the per-doc size joins back broadcast-eligible.  Docs
+    shorter than ``k`` tokens fingerprint to ∅ and emit nothing.
+    """
+    from ..functions.text import winnow_fingerprints
+
+    fp = df.select(
+        F.col(id_col).alias('id'),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias('fp'),
+    )
+    ok = fp.groupBy('fp').agg(F.count('*').alias('df_')).filter(F.col('df_') <= max_df)
+    kept = fp.join(ok.select('fp'), 'fp')
+    sizes = kept.groupBy('id').agg(F.count('*').alias('n'))
+    shared = (
+        kept.select(F.col('id').alias('id_a'), 'fp')
+        .join(kept.select(F.col('id').alias('id_b'), 'fp'), 'fp')
+        .filter(F.col('id_a') != F.col('id_b'))
+        .groupBy('id_a', 'id_b')
+        .agg(F.count('*').alias('shared'))
+    )
+    return (
+        # no broadcast hint: sizes is doc-count-scale — AQE broadcasts it
+        # while it fits and plans the shuffle join beyond that
+        shared.join(sizes.select(F.col('id').alias('id_a'),
+                                 F.col('n').alias('n_a')), 'id_a')
+        .withColumn('containment_ppm',
+                    F.expr('shared * 1000000 DIV n_a').cast('long'))
+        .filter(F.col('containment_ppm') >= threshold_ppm)
+        .select('id_a', 'id_b', 'shared', 'n_a', 'containment_ppm')
+    )
+
+
 def minhash_buckets(
     df: DataFrame,
     id_col: str = 'doc_id',

@@ -127,3 +127,27 @@ def test_orc_seam_roundtrip(spark):
     back = read_table(spark, path)
     assert back.count() == 100
     assert back.agg(F.sum('v')).collect()[0][0] == float(sum(i * 2 for i in range(100)))
+
+
+def test_containment_pairs_catch_planted_truncation(spark):
+    from dgraphpandas_spark.operators.dedup import containment_pairs
+
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron pi rho sigma tau upsilon')
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.split(' lam')[0]),                     # first half of 1
+            (3, 'totally different words about other topics entirely '
+                'with nothing shared between these two documents here'),
+        ],
+        'doc_id long, text string',
+    )
+    out = {(r['id_a'], r['id_b']): r
+           for r in containment_pairs(docs, threshold_ppm=600_000).collect()}
+    # the truncation is contained in its source at high ppm...
+    assert (2, 1) in out and out[(2, 1)]['containment_ppm'] >= 900_000
+    # ...but the big doc is NOT contained in its half (asymmetry)
+    assert (1, 2) not in out
+    # unrelated doc shares nothing
+    assert all(3 not in pair for pair in out)
