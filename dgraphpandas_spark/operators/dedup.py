@@ -46,21 +46,25 @@ def shingles(
     distinct: bool = True,
 ) -> DataFrame:
     """(id, shingle) pairs: word n-grams of the normal form.
-    Expression-only: sequence + transform + slice, then explode.
+    Expression-only: shifted slices combined with zip_with, then explode
+    — the arrays enter the HOFs as ARGUMENTS (evaluated once per row),
+    never as lambda captures, which would re-evaluate the whole
+    tokenize/normalize chain per shingle (the O(n²) trap fixed in
+    functions.text.winnow_fingerprints, round 5; output is identical).
 
     ``distinct=True`` (set semantics — required for Jaccard counting) costs
     a full shuffle of every (id, shingle) pair; pass ``distinct=False``
     where duplicates don't change the result (MinHash signatures: ``min``
     over a multiset equals ``min`` over its set)."""
     toks = tokens(F.col(text_col))
-    # guard: Spark sequence(1, 0) would COUNT DOWN ([1,0]); short docs get
-    # an empty shingle set instead
-    sh = F.when(F.size(toks) < n, F.array().cast('array<string>')).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), ' '),
-        )
-    )
+    m = F.size(toks) - F.lit(n - 1)
+    g = F.slice(toks, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(toks, j + 1, m),
+                       lambda x, y: F.concat(x, F.lit(' '), y))
+    # guard: Spark slice with negative length errors; short docs get an
+    # empty shingle set instead
+    sh = F.when(F.size(toks) < n, F.array().cast('array<string>')).otherwise(g)
     out = df.select(F.col(id_col).alias('id'), F.explode(sh).alias('shingle'))
     return out.distinct() if distinct else out
 
